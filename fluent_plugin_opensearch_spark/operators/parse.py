@@ -1,0 +1,98 @@
+"""Vectorized grok/regex parsing of transcript ``text`` (the graft's
+A-axis; SURVEY.md §7 Phase 2; north_star "vectorized regex/grok parsing
+... via pandas/Arrow UDFs (no per-row Ruby-style filters)").
+
+Two implementations with identical semantics:
+  * ``parse_text`` — built-in ``regexp_extract`` columns (JVM-side,
+    whole-stage codegen; the default hot path).
+  * ``parse_text_pandas`` — Arrow-batched pandas UDF compiling one
+    regex and using ``Series.str.extract`` (the escape hatch for grok
+    patterns Catalyst regex can't express; proves the pandas/Arrow
+    plumbing the north_star requires).
+
+Parse failures are NOT dropped: ``parse_ok=false`` routes the row to
+the DLQ stream with a reason, mirroring the reference's per-record
+error emission (out_opensearch.rb:904-908, P5 pattern).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+#: The transcript line grammar (FIXTURES.md §1):
+#:   [LEVEL] req=<digits> took=<int>ms <free text>
+GROK_PATTERN = r"^\[(\w+)\] req=(\d+) took=(\d+)ms (.*)$"
+
+
+def parse_text(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Built-in vectorized parse: level/req_id/duration_ms/message
+    columns + ``parse_ok``. One regex evaluated once per field by
+    Catalyst (common subexpression elimination merges the matches)."""
+    t = F.col(text_col)
+    level = F.regexp_extract(t, GROK_PATTERN, 1)
+    return (
+        df.withColumn("level", F.nullif(level, F.lit("")))
+        .withColumn("req_id", F.nullif(F.regexp_extract(t, GROK_PATTERN, 2), F.lit("")))
+        .withColumn(
+            "duration_ms",
+            F.nullif(F.regexp_extract(t, GROK_PATTERN, 3), F.lit("")).cast("bigint"),
+        )
+        .withColumn("message", F.nullif(F.regexp_extract(t, GROK_PATTERN, 4), F.lit("")))
+        .withColumn("parse_ok", t.isNotNull() & t.rlike(GROK_PATTERN))
+    )
+
+
+def parse_text_pandas(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Pandas-UDF twin of ``parse_text`` (same output columns).
+
+    One compiled regex per executor, ``Series.str.extract`` over each
+    Arrow batch — the vectorized escape hatch for full grok dialects
+    (pattern dictionaries, oniguruma named groups) that Spark's regexp
+    can't express. Still zero per-row Python.
+    """
+
+    @pandas_udf("struct<level:string,req_id:string,duration_ms:bigint,message:string>")
+    def _extract(s: pd.Series) -> pd.DataFrame:
+        out = s.str.extract(GROK_PATTERN)
+        out.columns = ["level", "req_id", "duration_ms", "message"]
+        out["duration_ms"] = pd.to_numeric(out["duration_ms"], errors="coerce").astype("Int64")
+        return out
+
+    parsed = df.withColumn("_p", _extract(F.col(text_col)))
+    return (
+        parsed.select("*", "_p.level", "_p.req_id", "_p.duration_ms", "_p.message")
+        .withColumn("parse_ok", F.col("_p.level").isNotNull())
+        .drop("_p")
+    )
+
+
+def parse_json_props(df: DataFrame, json_col: str, fields: dict[str, str]) -> DataFrame:
+    """JSON side-payload parse (oj_serializer.rb inverse; S9):
+    ``from_json``-style extraction of typed fields from a JSON-string
+    column. ``fields`` maps output column → JSON path type, e.g.
+    ``{"k": "int"}`` extracts ``$.k`` as int."""
+    out = df
+    for name, dtype in fields.items():
+        out = out.withColumn(name, F.get_json_object(F.col(json_col), f"$.{name}").cast(dtype))
+    return out
+
+
+def dlq_split(df: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Fan the parsed stream into (good, dlq) per the reference's
+    per-record rescue → emit_error_event (out_opensearch.rb:904-908).
+    DLQ rows carry a ``dlq_reason``. Both sides reuse the same parsed
+    plan (no recompute under AQE; cache upstream if both sides are
+    written)."""
+    reason = (
+        F.when(F.col("text").isNull(), F.lit("null_record"))
+        .when(~F.col("parse_ok"), F.lit("parse_error"))
+        .otherwise(F.lit(None))
+    )
+    tagged = df.withColumn("dlq_reason", reason)
+    return (
+        tagged.filter(F.col("dlq_reason").isNull()).drop("dlq_reason"),
+        tagged.filter(F.col("dlq_reason").isNotNull()),
+    )

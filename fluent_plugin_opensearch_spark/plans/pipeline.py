@@ -1,0 +1,161 @@
+"""End-to-end pipeline composition + the batch runner (SURVEY.md §3.1
+re-expressed Spark-first):
+
+    read transcripts → parse (vectorized) → enrich (broadcast join)
+    → compute @timestamp/_index/_id/routing → fan-out:
+        good    → sink tables (partitionBy _index)
+        dlq     → dlq table (reason column)
+        retry   → retry table under retry_tag (R8)
+    + per-sink metrics (A1) + lineage + checkpoint manifest.
+
+Stages are pure ``DataFrame -> DataFrame`` functions composed with
+``df.transform`` (the genid-filter composability analog, SURVEY.md
+§2.10) so Catalyst sees ONE logical plan: filters and the regex parse
+push into the scan, the dictionary joins broadcast, and the only
+shuffle in the whole job is the final repartition on ``_index``.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..config import PipelineConfig
+from ..constants import INDEX_KEY
+from ..operators.enrich import enrich
+from ..operators.genid import add_hash_id
+from ..operators.parse import parse_text
+from ..operators.routing import per_sink_counts, route
+from ..operators.timestamps import inject_timestamp
+from ..operators.transforms import (
+    drop_non_records,
+    extract_meta,
+    include_tag,
+    inject_chunk_id,
+    missing_id_filter,
+    remove_keys,
+)
+from ..sinks.writer import SinkCatalog, append_to_sink, write_metrics
+
+
+def build(df: DataFrame, cfg: PipelineConfig, spark: SparkSession, tag: str = "transcripts") -> DataFrame:
+    """The full record pipeline as one logical plan. Adds:
+    parse columns, enrichment columns, ``@timestamp``, ``_index``,
+    ``_id``/``_parent``/``routing``, DLQ/missing-id flags."""
+    out = (
+        df.withColumn("tag", F.lit(tag))
+        .transform(drop_non_records)
+        .transform(lambda d: inject_timestamp(d, cfg))
+        .transform(parse_text)
+        .transform(lambda d: enrich(d, spark))
+        .transform(lambda d: route(d, cfg))
+        .transform(lambda d: extract_meta(d, cfg))
+        .transform(lambda d: missing_id_filter(d, cfg))
+        .transform(lambda d: include_tag(d, cfg))
+        .transform(lambda d: remove_keys(d, cfg))
+    )
+    if cfg.genid_record_keys or cfg.genid_use_entire_record:
+        out = add_hash_id(out, cfg)
+    return out
+
+
+def split_streams(df: DataFrame, cfg: PipelineConfig) -> tuple[DataFrame, DataFrame]:
+    """Fan the built plan into (good, dlq). DLQ = null records (P1) +
+    parse failures (P5 pattern) + time-parse errors (P5) + missing-id
+    rows when the op requires an id and ``emit_error_for_missing_id``
+    (out_opensearch.rb:895-903); when emit is off those rows are
+    silently dropped exactly like the reference."""
+    reason = (
+        F.when(F.col("malformed_record"), F.lit("null_record"))
+        .when(~F.col("parse_ok"), F.lit("parse_error"))
+        .when(F.col("time_parse_error"), F.lit("time_parse_error"))
+        .when(F.col("missing_id"), F.lit("missing_id"))
+        .otherwise(F.lit(None))
+    )
+    tagged = df.withColumn("dlq_reason", reason)
+    good = tagged.filter(F.col("dlq_reason").isNull()).drop("dlq_reason")
+    bad = tagged.filter(F.col("dlq_reason").isNotNull())
+    if not cfg.emit_error_for_missing_id:
+        bad = bad.filter(F.col("dlq_reason") != "missing_id")
+    return good, bad
+
+
+class CheckpointManifest:
+    """Batch-mode checkpoint/resume (SURVEY.md §4 item 4; north_rule
+    "resumable from checkpoint with per-partition lineage"): a JSON
+    manifest of completed unit ids. A re-run skips completed units, so
+    the whole job is idempotent (the chunk-id dedup hook,
+    out_opensearch.rb:847-854, generalized to units of work)."""
+
+    def __init__(self, path: str) -> None:
+        self.path = path
+        self._done: set[str] = set()
+        if os.path.exists(path):
+            with open(path) as f:
+                self._done = set(json.load(f).get("done", []))
+
+    def is_done(self, unit: str) -> bool:
+        return unit in self._done
+
+    def mark_done(self, unit: str) -> None:
+        self._done.add(unit)
+        tmp = self.path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"done": sorted(self._done)}, f)
+        os.replace(tmp, self.path)
+
+
+def run_batch(
+    spark: SparkSession,
+    transcripts: DataFrame,
+    cfg: PipelineConfig,
+    catalog: SinkCatalog,
+    batch_id: str | None = None,
+    manifest: CheckpointManifest | None = None,
+) -> dict:
+    """One micro-batch: build → split → fan-out writes → metrics.
+
+    Mirrors §3.1's write(chunk) shape with Spark semantics: the retry
+    stream is a TABLE consumed by the next run (R8 as an idempotent
+    loop, SURVEY.md §2.3), not a recursive emit. Returns the metrics
+    dict (per-sink counts A1 + outcome stats A2).
+    """
+    batch_id = batch_id or uuid.uuid4().hex[:12]
+    if manifest is not None and manifest.is_done(batch_id):
+        return {"batch_id": batch_id, "skipped": True}
+
+    built = build(transcripts, cfg, spark)
+    good, dlq = split_streams(built, cfg)
+    good = inject_chunk_id(good)
+
+    # one pass over the input feeds both sides; cache the narrow built
+    # plan so good/dlq don't rescan (at cluster scale: two reads of one
+    # cached/shuffled dataset beat two source scans)
+    built.persist()
+    try:
+        append_to_sink(good, catalog, "sink", cfg.sink_partitions)
+        dlq_out = dlq.withColumn(INDEX_KEY, F.lit("dlq"))
+        append_to_sink(dlq_out, catalog, "dlq")
+
+        counts = [r.asDict() for r in per_sink_counts(good).collect()]
+        dlq_counts = [
+            r.asDict() for r in dlq.groupBy("dlq_reason").agg(F.count(F.lit(1)).alias("n")).collect()
+        ]
+    finally:
+        built.unpersist()
+
+    metrics = {
+        "batch_id": batch_id,
+        "per_sink": counts,
+        "dlq": dlq_counts,
+        "routed_rows": int(sum(c["routed_rows"] for c in counts)),
+        "dlq_rows": int(sum(c["n"] for c in dlq_counts)),
+    }
+    write_metrics(catalog, batch_id, counts + [metrics])
+    if manifest is not None:
+        manifest.mark_done(batch_id)
+    return metrics
