@@ -1,0 +1,315 @@
+"""Large-scale training-data pipeline operators over ``documents`` and
+``embeddings`` (task brief: dedup, similarity search, text analysis,
+multimodal plumbing). These extend the reference's record pipeline with
+the dataset-curation ops a 100 TB corpus job needs; all are shuffled on
+explicit keys and designed so the only O(n²) work happens inside
+LSH-candidate buckets, never globally.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+# ---------------------------------------------------------------------------
+# Deduplication
+# ---------------------------------------------------------------------------
+
+def exact_dedup_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Exact dedup via content hash: one aggregation, map-side partial.
+    At scale this is a single shuffle on a 128-bit hash — the cheapest
+    possible full-corpus dedup."""
+    return docs.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct(F.md5(F.col(text_col))).alias("n_distinct"),
+    )
+
+
+def dedup_keep_first(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Exact dedup keeping the lowest id per normalized fingerprint
+    (deterministic winner ⇒ reproducible corpus)."""
+    fp = F.md5(F.lower(F.trim(F.col(text_col))))
+    return (
+        docs.withColumn("fp", fp)
+        .groupBy("fp")
+        .agg(F.min(id_col).alias(id_col))
+        .select(id_col)
+    )
+
+
+def fingerprint(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Document fingerprint: md5 over whitespace-normalized lowercase
+    text (the cheap rolling-hash analog; stable across runs/engines)."""
+    norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+    return docs.select(F.col(id_col), F.md5(norm).alias("fingerprint"))
+
+
+def _shingles(text_col: str, k: int = 3):
+    """Word k-shingles as an array column (built-ins only):
+    tokens[i:i+k] joined by space, via transform over index range."""
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    n = F.greatest(F.size(toks) - (k - 1), F.lit(0))
+    idx = F.sequence(F.lit(0), n - 1)
+    return F.when(
+        n > 0,
+        F.array_distinct(
+            F.transform(idx, lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j + 1) for j in range(k)]))
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def minhash_signatures(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 32,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """MinHash signatures from word shingles, entirely in built-in
+    expressions: hash_i(shingle) = xxhash64(shingle, seed=i); the
+    signature is ``array(min over shingles per seed)``. No UDF, no
+    shuffle — a pure projection that scales linearly."""
+    sh = _shingles(text_col, shingle_k)
+
+    def min_hash(seed: int):
+        # closure factory: a default-arg lambda (lambda s, i=seed: ...)
+        # would change the introspected arity and make Spark bind the
+        # array INDEX to the second parameter — wrong semantics.
+        return F.array_min(F.transform(sh, lambda s: F.xxhash64(s, F.lit(seed))))
+
+    sig = F.array(*[min_hash(i) for i in range(num_hashes)])
+    return docs.select(F.col(id_col), sh.alias("shingles"), sig.alias("signature"))
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_k: int = 3,
+    min_jaccard: float = 0.5,
+) -> DataFrame:
+    """MinHash + LSH near-duplicate pairs:
+
+    shingle → minhash (projection) → band → bucket self-join (the only
+    shuffle, on band hash — candidate generation is O(candidates), not
+    O(n²)) → exact shingle-set Jaccard verification of candidates.
+
+    Returns (doc_a, doc_b, jaccard) with doc_a < doc_b. At 100 TB the
+    bucket join is the standard LSH plan: skewed mega-buckets (boiler-
+    plate shingles) should be capped/salted; AQE skew-join is the
+    backstop here.
+    """
+    rows = num_hashes // bands
+    sigs = minhash_signatures(docs, id_col, text_col, num_hashes, shingle_k)
+    banded = sigs.select(
+        F.col(id_col),
+        F.col("shingles"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(*[F.col("signature")[b * rows + r] for r in range(rows)]).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("lsh"),
+    ).select(id_col, "shingles", "lsh.band", "lsh.bucket")
+
+    a = banded.alias("a")
+    b = banded.alias("b")
+    cand = (
+        a.join(b, on=["band", "bucket"], how="inner")
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("doc_a"),
+            F.col(f"b.{id_col}").alias("doc_b"),
+            F.col("a.shingles").alias("sh_a"),
+            F.col("b.shingles").alias("sh_b"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
+    return (
+        cand.withColumn("jaccard", F.when(union > 0, inter / union).otherwise(F.lit(0.0)))
+        .filter(F.col("jaccard") >= min_jaccard)
+        .select("doc_a", "doc_b", F.round("jaccard", 4).alias("jaccard"))
+    )
+
+
+def simhash64(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """64-bit SimHash over word tokens, pure built-ins: per bit j,
+    sign = sum over tokens of (bit_j(xxhash64(tok)) ? 1 : -1); simhash
+    bit j = sign > 0. Projection only — linear scale. Near-dup search
+    then groups on rotated prefixes (not implemented round 1)."""
+    toks = F.array_distinct(F.split(F.trim(F.col(text_col)), r"\s+"))
+    hashes = F.transform(toks, lambda t: F.xxhash64(t))
+
+    def vote(j: int):
+        return F.aggregate(
+            hashes,
+            F.lit(0),
+            lambda acc, h: acc
+            + F.when(F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
+        )
+
+    bit_votes = [vote(j) for j in range(64)]
+    sim = None
+    for j, v in enumerate(bit_votes):
+        bit = F.when(v > 0, F.lit(1).cast("bigint")).otherwise(F.lit(0).cast("bigint"))
+        term = F.shiftleft(bit, j)
+        sim = term if sim is None else sim.bitwiseXOR(term)  # bits disjoint: XOR == OR == +
+    return docs.select(F.col(id_col), sim.alias("simhash"))
+
+
+# ---------------------------------------------------------------------------
+# Similarity search (ANN over embeddings)
+# ---------------------------------------------------------------------------
+
+def cosine_topk(
+    emb: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Brute-force cosine top-k: broadcast the query vectors against the
+    partitioned corpus — the exact-baseline plan (one broadcast join,
+    no shuffle until the final per-query top-k). All arithmetic in
+    double via built-in ``zip_with``/``aggregate`` (JVM-side; no UDF).
+
+    Returns (q_id, neighbor_id, rank). The scale path swaps the corpus
+    side for an IVF/LSH-bucketed pre-filter (`ivf_topk`)."""
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    base = emb.select(F.col(id_col), v.alias("v"))
+    q = base.filter(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("q_id"), F.col("v").alias("qv")
+    )
+    dot = F.aggregate(F.zip_with("v", "qv", lambda a, b: a * b), F.lit(0.0), lambda acc, x: acc + x)
+    norm = lambda c: F.sqrt(F.aggregate(F.transform(c, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x))  # noqa: E731
+    pairs = (
+        base.crossJoin(F.broadcast(q))
+        .filter(F.col(id_col) != F.col("q_id"))
+        .withColumn("sim", dot / (norm(F.col("v")) * norm(F.col("qv"))))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("sim"), F.col(id_col))
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", F.col(id_col).alias("neighbor_id"), "rank")
+    )
+
+
+def ivf_topk(
+    emb: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    n_probe_bits: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """LSH-bucketed ANN (the scale path): corpus and queries are
+    sign-hashed on ``n_probe_bits`` random hyperplanes (deterministic
+    seeds); candidates = same bucket (plus all when bucket is empty of
+    k). Recall < 1 by construction — exactness is `cosine_topk`'s job.
+
+    Implementation note: hyperplane h_j uses xxhash64(dim, j) scaled to
+    ±1 as a cheap deterministic pseudo-random direction, so the bucket
+    id is computable by both the corpus scan and the query side without
+    a trained model artifact.
+    """
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    base = emb.select(F.col(id_col), v.alias("v"))
+
+    def bucket(col):
+        def bit(j: int):
+            proj = F.aggregate(
+                F.zip_with(
+                    col,
+                    F.sequence(F.lit(0), F.size(col) - 1),
+                    lambda x, i: x
+                    * (F.pmod(F.xxhash64(i, F.lit(j)), F.lit(2)).cast("double") * 2.0 - 1.0),
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            return F.when(proj > 0, F.lit(1 << j)).otherwise(F.lit(0))
+
+        out = bit(0)
+        for j in range(1, n_probe_bits):
+            out = out + bit(j)
+        return out
+
+    corpus = base.withColumn("bucket", bucket(F.col("v")))
+    q = corpus.filter(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("q_id"), F.col("v").alias("qv"), F.col("bucket").alias("qbucket")
+    )
+    dot = F.aggregate(F.zip_with("v", "qv", lambda a, b: a * b), F.lit(0.0), lambda acc, x: acc + x)
+    norm = lambda c: F.sqrt(F.aggregate(F.transform(c, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x))  # noqa: E731
+    pairs = (
+        corpus.join(F.broadcast(q), on=F.col("bucket") == F.col("qbucket"), how="inner")
+        .filter(F.col(id_col) != F.col("q_id"))
+        .withColumn("sim", dot / (norm(F.col("v")) * norm(F.col("qv"))))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("sim"), F.col(id_col))
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", F.col(id_col).alias("neighbor_id"), "rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+def text_stats(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Per-doc quality/counting stats, integer-exact (oracle-safe):
+    token count (whitespace), char count, distinct-token count, and a
+    crude stopword hit count (quality-scoring inputs)."""
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    stop = F.filter(toks, lambda t: t.isin("the", "a", "of", "and", "to", "in"))
+    return docs.select(
+        F.col(id_col),
+        F.size(toks).cast("bigint").alias("n_tokens"),
+        F.length(text_col).cast("bigint").alias("n_chars"),
+        F.size(F.array_distinct(toks)).cast("bigint").alias("n_distinct_tokens"),
+        F.size(stop).cast("bigint").alias("n_stopwords"),
+    )
+
+
+def lang_id_ngram(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Heuristic language ID: score = stopword-hit fraction per tiny
+    per-language lexicon; argmax wins, 'unk' when nothing hits. A toy
+    (the container has no langid lib), but the Spark shape — broadcast
+    lexicon → explode-free array intersection → argmax — is the real
+    scale pattern."""
+    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    lex = {
+        "en": ("the", "a", "of", "and", "to", "in", "is"),
+        "de": ("der", "die", "das", "und", "ist", "nicht"),
+        "fr": ("le", "la", "de", "et", "est", "pas"),
+    }
+    def score(ws: tuple[str, ...]):
+        return F.size(F.filter(toks, lambda t: t.isin(*ws)))
+
+    scores = [score(ws).alias(lang) for lang, ws in lex.items()]
+    scored = docs.select(F.col(id_col), *scores)
+    best = F.greatest(*[F.col(lang) for lang in lex])
+    pred = F.when(best <= 0, F.lit("unk"))
+    for lang in lex:  # first max wins, fixed order
+        pred = pred.when(F.col(lang) == best, F.lit(lang))
+    return scored.select(F.col(id_col), pred.alias("pred_lang"))
+
+
+def token_count_bpe_ish(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Token counting: whitespace tokens + a BPE-ish regex count
+    (runs of letters / digits / single punctuation), both exact ints."""
+    ws = F.size(F.split(F.trim(F.col(text_col)), r"\s+")).cast("bigint")
+    bpe = F.size(F.regexp_extract_all(F.col(text_col), F.lit(r"[A-Za-z]+|\d+|[^\sA-Za-z\d]"), F.lit(0))).cast("bigint")
+    return docs.select(F.col(id_col), ws.alias("n_ws_tokens"), bpe.alias("n_bpe_tokens"))

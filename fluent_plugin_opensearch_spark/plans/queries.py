@@ -1,0 +1,616 @@
+"""Correctness-query registry: every implemented operator from
+SURVEY.md §2 (plus the training-data dataset ops) exposed as
+``(spark, sf_dir) -> DataFrame`` with a DuckDB oracle SQL twin.
+
+Parity design: the ``transcripts`` input is derived from the driver's
+``events`` parquet by ONE shared SQL string (sources/transcripts.py),
+so the Spark plan and the DuckDB oracle consume byte-identical rows.
+Column names are aligned on both sides (driver hashes sort columns by
+name). Floating-point outputs are avoided (counts, bigints, strings,
+or round()ed doubles) so value hashes are stable across engines.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..config import PipelineConfig
+from ..operators import dataset as DS
+from ..operators.classify import classify
+from ..operators.enrich import ROLE_DICT_SQL, TOOL_DICT_SQL, enrich, role_dict, tool_dict
+from ..operators.genid import add_hash_id
+from ..operators.parse import GROK_PATTERN, parse_text
+from ..operators.routing import affinity_override, per_sink_counts, route
+from ..operators.timestamps import inject_timestamp
+from ..plans.pipeline import build, split_streams
+from ..sources.transcripts import ORACLE_PREFIX, load_transcripts
+
+CFG = PipelineConfig(logstash_format=True, logstash_prefix="logs")
+
+#: DuckDB-side fragments shared by several oracles
+SQL_GROK = r"'^\[(\w+)\] req=(\d+) took=(\d+)ms (.*)$'"
+SQL_LOGSTASH_INDEX = "lower(concat('logs-', strftime(ts, '%Y.%m.%d')))"
+SQL_PARSED = rf"(text IS NOT NULL AND regexp_matches(text, {SQL_GROK}))"
+
+
+def _t(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_transcripts(spark, sf_dir)
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+# ---------------------------------------------------------------------------
+# Pipeline queries (transcripts)
+# ---------------------------------------------------------------------------
+
+def q_route_logstash_counts(spark, sf_dir):
+    """A1/R2/R3: per-sink routed-row counts for the good stream."""
+    good, _ = split_streams(build(_t(spark, sf_dir), CFG, spark), CFG)
+    return per_sink_counts(good)
+
+
+O_ROUTE_LOGSTASH = (
+    ORACLE_PREFIX
+    + f"""
+SELECT {SQL_LOGSTASH_INDEX} AS _index, count(*) AS routed_rows
+FROM transcripts WHERE {SQL_PARSED}
+GROUP BY 1"""
+)
+
+
+def q_route_target_index_override(spark, sf_dir):
+    """R2 precedence: record's target_index_key (here: tool) overrides
+    logstash, override column dropped after use."""
+    cfg = PipelineConfig(logstash_format=True, logstash_prefix="logs", target_index_key="tool")
+    t = inject_timestamp(_t(spark, sf_dir), cfg)
+    routed = route(t, cfg)
+    assert "tool" not in routed.columns  # reference deletes the key
+    return routed.groupBy("_index").agg(F.count(F.lit(1)).alias("routed_rows"))
+
+
+O_ROUTE_OVERRIDE = (
+    ORACLE_PREFIX
+    + f"""
+SELECT lower(coalesce(tool, concat('logs-', strftime(ts, '%Y.%m.%d')))) AS _index,
+       count(*) AS routed_rows
+FROM transcripts GROUP BY 1"""
+)
+
+
+def q_timestamp_iso(spark, sf_dir):
+    """P3: @timestamp injection — ISO8601 µs from event time."""
+    t = inject_timestamp(_t(spark, sf_dir), CFG)
+    return t.select("conv_id", "turn_idx", F.col("@timestamp").alias("ts_iso"))
+
+
+O_TIMESTAMP_ISO = (
+    ORACLE_PREFIX
+    + """
+SELECT conv_id, turn_idx, strftime(ts, '%Y-%m-%dT%H:%M:%S.%f') || 'Z' AS ts_iso
+FROM transcripts"""
+)
+
+
+def q_time_key_parse(spark, sf_dir):
+    """P4+P5: strptime fast path / ISO fallback / numeric epoch /
+    parse-error fallback to event time, per time_key precedence."""
+    cfg = PipelineConfig(time_key="time_str")
+    t = _t(spark, sf_dir).withColumn(
+        "time_str",
+        F.expr(
+            """CASE cast(turn_idx % 4 AS INT)
+                 WHEN 0 THEN date_format(ts, "yyyy-MM-dd'T'HH:mm:ss")
+                 WHEN 1 THEN 'not-a-time'
+                 WHEN 2 THEN cast(unix_micros(cast(ts AS timestamp)) DIV 1000000 AS STRING)
+                 ELSE NULL END"""
+        ),
+    )
+    out = inject_timestamp(t, cfg)
+    return out.select(
+        "conv_id",
+        "turn_idx",
+        F.col("@timestamp").alias("ts_iso"),
+        F.col("time_parse_error").alias("parse_err"),
+    )
+
+
+O_TIME_KEY_PARSE = (
+    ORACLE_PREFIX
+    + """
+, with_key AS (
+  SELECT conv_id, turn_idx, ts,
+    CASE turn_idx % 4
+      WHEN 0 THEN strftime(ts, '%Y-%m-%dT%H:%M:%S')
+      WHEN 1 THEN 'not-a-time'
+      WHEN 2 THEN CAST(epoch_us(ts) // 1000000 AS STRING)
+      ELSE NULL END AS time_str
+  FROM transcripts),
+parsed AS (
+  SELECT conv_id, turn_idx, ts, time_str,
+    CASE WHEN regexp_matches(time_str, '^\\d+(\\.\\d+)?$')
+         THEN make_timestamp(CAST(CAST(time_str AS DOUBLE) * 1000000 AS BIGINT))
+         ELSE TRY_CAST(time_str AS TIMESTAMP) END AS p
+  FROM with_key)
+SELECT conv_id, turn_idx,
+  strftime(coalesce(p, ts), '%Y-%m-%dT%H:%M:%S.%f') || 'Z' AS ts_iso,
+  (time_str IS NOT NULL AND p IS NULL) AS parse_err
+FROM parsed"""
+)
+
+
+def q_parse_extract(spark, sf_dir):
+    """Grok parse of text → level/req_id/duration_ms/message."""
+    p = parse_text(_t(spark, sf_dir)).filter("parse_ok")
+    return p.select("conv_id", "turn_idx", "level", "req_id", "duration_ms", "message")
+
+
+O_PARSE_EXTRACT = (
+    ORACLE_PREFIX
+    + f"""
+SELECT conv_id, turn_idx,
+  regexp_extract(text, {SQL_GROK}, 1) AS level,
+  regexp_extract(text, {SQL_GROK}, 2) AS req_id,
+  CAST(regexp_extract(text, {SQL_GROK}, 3) AS BIGINT) AS duration_ms,
+  regexp_extract(text, {SQL_GROK}, 4) AS message
+FROM transcripts WHERE {SQL_PARSED}"""
+)
+
+
+def q_dlq_reason_stats(spark, sf_dir):
+    """P1/P5 DLQ fan-out: counts per dlq_reason."""
+    _, dlq = split_streams(build(_t(spark, sf_dir), CFG, spark), CFG)
+    return dlq.groupBy("dlq_reason").agg(F.count(F.lit(1)).alias("n"))
+
+
+O_DLQ_REASONS = (
+    ORACLE_PREFIX
+    + f"""
+SELECT CASE WHEN text IS NULL THEN 'null_record' ELSE 'parse_error' END AS dlq_reason,
+       count(*) AS n
+FROM transcripts WHERE NOT {SQL_PARSED}
+GROUP BY 1"""
+)
+
+
+def q_enrich_role_counts(spark, sf_dir):
+    """J3: broadcast dictionary enrichment, per role_class counts."""
+    e = enrich(_t(spark, sf_dir), spark)
+    return e.groupBy("role_class").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("priority").alias("priority_sum")
+    )
+
+
+O_ENRICH_ROLES = (
+    ORACLE_PREFIX
+    + f"""
+SELECT role_class, count(*) AS n, CAST(sum(priority) AS BIGINT) AS priority_sum
+FROM transcripts LEFT JOIN {ROLE_DICT_SQL} USING (role)
+GROUP BY 1"""
+)
+
+
+def q_enrich_tool_miss(spark, sf_dir):
+    """J3 miss path: unknown tools survive as NULL families."""
+    e = enrich(_t(spark, sf_dir), spark)
+    return (
+        e.filter(F.col("tool").isNotNull() & F.col("tool_family").isNull())
+        .groupBy("tool")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+O_ENRICH_TOOL_MISS = (
+    ORACLE_PREFIX
+    + f"""
+SELECT tool, count(*) AS n
+FROM transcripts LEFT JOIN {TOOL_DICT_SQL} USING (tool)
+WHERE tool IS NOT NULL AND tool_family IS NULL
+GROUP BY 1"""
+)
+
+
+def _genid_q(hash_type: str):
+    def q(spark, sf_dir):
+        cfg = PipelineConfig(
+            genid_use_record_as_seed=True,
+            genid_record_keys=("conv_id", "turn_idx"),
+            genid_hash_type=hash_type,
+        )
+        return add_hash_id(_t(spark, sf_dir), cfg).select(
+            "conv_id", "turn_idx", F.col("_hash").alias("hash_id")
+        )
+
+    return q
+
+
+def _genid_oracle(fn: str) -> str:
+    return (
+        ORACLE_PREFIX
+        + f"""
+SELECT conv_id, turn_idx,
+  to_base64(from_hex({fn}(concat(conv_id, '_', CAST(turn_idx AS STRING))))) AS hash_id
+FROM transcripts"""
+    )
+
+
+def q_error_taxonomy(spark, sf_dir):
+    """§2.11 classifier over a deterministic bulk-response corpus
+    derived from events (covers every ladder branch incl. create-409
+    duplicate, upsert-409 retry, unrecoverable abort/record types)."""
+    spark.read.parquet(f"{sf_dir}/events.parquet").createOrReplaceTempView("events")
+    items = spark.sql(ITEMS_SQL)
+    out = classify(items, PipelineConfig())
+    return out.groupBy("op", "outcome").agg(F.count(F.lit(1)).alias("n"))
+
+
+ITEMS_SQL = """
+SELECT event_id,
+  CASE CAST(event_id % 3 AS INT) WHEN 0 THEN 'index' WHEN 1 THEN 'create' ELSE 'update' END AS op,
+  CASE CAST(event_id % 12 AS INT)
+    WHEN 0 THEN 201 WHEN 1 THEN 201 WHEN 2 THEN 409 WHEN 3 THEN 400
+    WHEN 4 THEN 500 WHEN 5 THEN 500 WHEN 6 THEN 500 WHEN 7 THEN 503
+    WHEN 8 THEN 429 WHEN 9 THEN 200 WHEN 10 THEN 500 ELSE 503 END AS status,
+  CASE CAST(event_id % 12 AS INT)
+    WHEN 2 THEN 'version_conflict_engine_exception'
+    WHEN 4 THEN 'some_unrecognized_type'
+    WHEN 6 THEN 'json_parse_exception'
+    WHEN 7 THEN 'es_rejected_execution_exception'
+    WHEN 8 THEN 'circuit_breaking_exception'
+    WHEN 10 THEN 'out_of_memory_error'
+    WHEN 11 THEN 'rejected_execution_exception'
+    ELSE NULL END AS error_type
+FROM events"""
+
+O_ERROR_TAXONOMY = (
+    "WITH items AS ("
+    + ITEMS_SQL
+    + """)
+SELECT op,
+  CASE
+    WHEN op IS NULL OR status IS NULL THEN 'dlq'
+    WHEN status IN (200, 201) THEN 'success'
+    WHEN op = 'create' AND status = 409 THEN 'duplicate'
+    WHEN status = 400 THEN 'dlq'
+    WHEN error_type IN ('out_of_memory_error', 'rejected_execution_exception') THEN 'abort'
+    WHEN error_type IN ('json_parse_exception') THEN 'dlq'
+    WHEN error_type IS NOT NULL THEN 'retry'
+    ELSE 'dlq'
+  END AS outcome,
+  count(*) AS n
+FROM items GROUP BY 1, 2"""
+)
+
+
+def q_affinity_routing(spark, sf_dir):
+    """R5: update/upsert affinity — existing docs pull updates to the
+    index where the doc already lives (broadcast min(_index) per _id)."""
+    t = _t(spark, sf_dir)
+    existing = t.filter(
+        (F.col("turn_idx") == 0) & (F.substring("conv_id", 5, 8).cast("int") % 2 == 0)
+    ).select(F.col("conv_id").alias("_id"), F.lit("logs-2023.12.31").alias("_index"))
+    batch = route(inject_timestamp(t, CFG), CFG).withColumn("_id", F.col("conv_id"))
+    out = affinity_override(batch, existing)
+    return out.groupBy("_index").agg(F.count(F.lit(1)).alias("routed_rows"))
+
+
+O_AFFINITY = (
+    ORACLE_PREFIX
+    + f"""
+, existing AS (
+  SELECT conv_id AS _id, 'logs-2023.12.31' AS _index FROM transcripts
+  WHERE turn_idx = 0 AND CAST(substr(conv_id, 5, 8) AS INT) % 2 = 0),
+oldest AS (SELECT _id, min(_index) AS aff FROM existing GROUP BY _id),
+batch AS (
+  SELECT conv_id AS _id, {SQL_LOGSTASH_INDEX} AS computed FROM transcripts)
+SELECT coalesce(o.aff, b.computed) AS _index, count(*) AS routed_rows
+FROM batch b LEFT JOIN oldest o USING (_id) GROUP BY 1"""
+)
+
+
+def q_retry_union(spark, sf_dir):
+    """O3/R8: retry-stream union under retry_tag."""
+    t = _t(spark, sf_dir)
+    main = t.withColumn("tag", F.lit("transcripts"))
+    retry = t.filter(F.col("turn_idx") % 17 == 3).withColumn("tag", F.lit("retry.transcripts"))
+    return main.unionByName(retry).groupBy("tag").agg(F.count(F.lit(1)).alias("n"))
+
+
+O_RETRY_UNION = (
+    ORACLE_PREFIX
+    + """
+SELECT tag, count(*) AS n FROM (
+  SELECT 'transcripts' AS tag FROM transcripts
+  UNION ALL
+  SELECT 'retry.transcripts' AS tag FROM transcripts WHERE turn_idx % 17 = 3
+) GROUP BY 1"""
+)
+
+
+def q_per_conv_stats(spark, sf_dir):
+    """O4: stable (conv_id, turn_idx) ordering invariant — per-conv
+    aggregates whose values depend on correct turn order."""
+    t = _t(spark, sf_dir).filter(F.col("text").isNotNull())
+    return t.groupBy("conv_id").agg(
+        F.count(F.lit(1)).alias("n_turns"),
+        F.min_by("text", "turn_idx").alias("first_text"),
+        F.date_format(F.max("ts"), "yyyy-MM-dd'T'HH:mm:ss.SSSSSS").alias("last_ts"),
+    )
+
+
+O_PER_CONV = (
+    ORACLE_PREFIX
+    + """
+SELECT conv_id, count(*) AS n_turns,
+  arg_min(text, turn_idx) AS first_text,
+  strftime(max(ts), '%Y-%m-%dT%H:%M:%S.%f') AS last_ts
+FROM transcripts WHERE text IS NOT NULL GROUP BY 1"""
+)
+
+
+def q_conv_gaps(spark, sf_dir):
+    """Windowed sequence op: total inter-turn gap per conversation
+    (lag over conv_id/turn_idx; integer µs — oracle-exact)."""
+    from pyspark.sql.window import Window
+
+    t = _t(spark, sf_dir)
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    gap = us - F.lag(us).over(w)
+    return (
+        t.withColumn("gap", gap)
+        .groupBy("conv_id")
+        .agg(
+            F.coalesce(F.sum("gap"), F.lit(0)).alias("total_gap_us"),
+            F.count("gap").alias("n_gaps"),
+        )
+    )
+
+
+O_CONV_GAPS = (
+    ORACLE_PREFIX
+    + """
+, g AS (
+  SELECT conv_id,
+    epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS gap
+  FROM transcripts)
+SELECT conv_id, CAST(coalesce(sum(gap), 0) AS BIGINT) AS total_gap_us, count(gap) AS n_gaps
+FROM g GROUP BY 1"""
+)
+
+
+def q_chunk_dedup(spark, sf_dir):
+    """P7 analog: replayed-chunk dedup — double the stream, dedup on
+    the natural key, report both counts (chunk-id dedup test pattern,
+    test_out_opensearch.rb:1923-1955)."""
+    t = _t(spark, sf_dir)
+    doubled = t.unionByName(t)
+    return doubled.agg(
+        F.count(F.lit(1)).alias("total_rows"),
+        F.countDistinct("conv_id", "turn_idx").alias("distinct_rows"),
+    )
+
+
+O_CHUNK_DEDUP = (
+    ORACLE_PREFIX
+    + """
+SELECT CAST(2 * count(*) AS BIGINT) AS total_rows, CAST(count(*) AS BIGINT) AS distinct_rows
+FROM transcripts"""
+)
+
+
+def q_props_json(spark, sf_dir):
+    """S9/P2: JSON side-payload extraction from events.props."""
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return e.select(
+        "event_id", F.get_json_object("props", "$.k").cast("int").alias("k")
+    )
+
+
+O_PROPS_JSON = """
+SELECT event_id, CAST(json_extract_string(props, '$.k') AS INT) AS k FROM events"""
+
+
+# ---------------------------------------------------------------------------
+# Dataset / training-data queries (documents, embeddings)
+# ---------------------------------------------------------------------------
+
+def q_dedup_exact(spark, sf_dir):
+    return DS.exact_dedup_stats(_docs(spark, sf_dir))
+
+
+O_DEDUP_EXACT = """
+SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_distinct
+FROM documents"""
+
+
+def q_dedup_keep_first(spark, sf_dir):
+    return DS.dedup_keep_first(_docs(spark, sf_dir))
+
+
+O_DEDUP_KEEP_FIRST = """
+SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(lower(trim(text)))"""
+
+
+def q_doc_fingerprint(spark, sf_dir):
+    return DS.fingerprint(_docs(spark, sf_dir))
+
+
+O_FINGERPRINT = r"""
+SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint
+FROM documents"""
+
+
+def q_text_stats(spark, sf_dir):
+    return DS.text_stats(_docs(spark, sf_dir))
+
+
+O_TEXT_STATS = r"""
+WITH toks AS (SELECT doc_id, length(text) AS n_chars,
+                     string_split_regex(trim(text), '\s+') AS t FROM documents)
+SELECT doc_id,
+  CAST(len(t) AS BIGINT) AS n_tokens,
+  CAST(n_chars AS BIGINT) AS n_chars,
+  CAST(len(list_distinct(t)) AS BIGINT) AS n_distinct_tokens,
+  CAST(len(list_filter(t, x -> x IN ('the','a','of','and','to','in'))) AS BIGINT) AS n_stopwords
+FROM toks"""
+
+
+def q_token_counts(spark, sf_dir):
+    return DS.token_count_bpe_ish(_docs(spark, sf_dir))
+
+
+O_TOKEN_COUNTS = r"""
+SELECT doc_id,
+  CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_ws_tokens,
+  CAST(len(regexp_extract_all(text, '[A-Za-z]+|\d+|[^\sA-Za-z\d]')) AS BIGINT) AS n_bpe_tokens
+FROM documents"""
+
+
+def q_lang_pred(spark, sf_dir):
+    return (
+        DS.lang_id_ngram(_docs(spark, sf_dir))
+        .groupBy("pred_lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+O_LANG_PRED = r"""
+WITH toks AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t FROM documents),
+s AS (SELECT doc_id,
+  len(list_filter(t, x -> x IN ('the','a','of','and','to','in','is'))) AS en,
+  len(list_filter(t, x -> x IN ('der','die','das','und','ist','nicht'))) AS de,
+  len(list_filter(t, x -> x IN ('le','la','de','et','est','pas'))) AS fr FROM toks)
+SELECT CASE WHEN greatest(en, de, fr) <= 0 THEN 'unk'
+            WHEN en = greatest(en, de, fr) THEN 'en'
+            WHEN de = greatest(en, de, fr) THEN 'de'
+            ELSE 'fr' END AS pred_lang,
+       count(*) AS n_docs
+FROM s GROUP BY 1"""
+
+
+def q_lang_source_profile(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    return d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.countDistinct("source").alias("n_sources"),
+    )
+
+
+O_LANG_PROFILE = """
+SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       CAST(count(DISTINCT source) AS BIGINT) AS n_sources
+FROM documents GROUP BY 1"""
+
+
+def q_ann_cosine_topk(spark, sf_dir):
+    return DS.cosine_topk(_emb(spark, sf_dir), query_ids=[0, 1, 2, 3, 4], k=10)
+
+
+O_ANN_TOPK = """
+WITH q AS (SELECT vec_id AS q_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
+pairs AS (
+  SELECT q.q_id, e.vec_id AS neighbor_id,
+         list_cosine_similarity(e.embedding, q.qv) AS sim
+  FROM embeddings e, q WHERE e.vec_id != q.q_id)
+SELECT q_id, neighbor_id,
+       CAST(row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, neighbor_id) AS INT) AS rank
+FROM pairs QUALIFY rank <= 10"""
+
+
+# --- rows-only (non-SQL-expressible / engine-specific hash functions) ---
+
+def q_minhash_lsh_pairs(spark, sf_dir):
+    return DS.minhash_lsh_pairs(_docs(spark, sf_dir), num_hashes=32, bands=8, min_jaccard=0.2)
+
+
+def q_simhash(spark, sf_dir):
+    return DS.simhash64(_docs(spark, sf_dir))
+
+
+def q_ivf_topk(spark, sf_dir):
+    return DS.ivf_topk(_emb(spark, sf_dir), query_ids=[0, 1, 2, 3, 4], k=10)
+
+
+def q_multimodal_features(spark, sf_dir):
+    from ..operators.multimodal import extract_features, synth_assets
+
+    return extract_features(synth_assets(spark, 64)).select(
+        "asset_id", "media_type", "width", "height", "n_frames"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Registry
+# ---------------------------------------------------------------------------
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "route_logstash_counts": q_route_logstash_counts,
+    "route_target_index_override": q_route_target_index_override,
+    "timestamp_iso": q_timestamp_iso,
+    "time_key_parse": q_time_key_parse,
+    "parse_extract": q_parse_extract,
+    "dlq_reason_stats": q_dlq_reason_stats,
+    "enrich_role_counts": q_enrich_role_counts,
+    "enrich_tool_miss": q_enrich_tool_miss,
+    "genid_md5": _genid_q("md5"),
+    "genid_sha256": _genid_q("sha256"),
+    "error_taxonomy": q_error_taxonomy,
+    "affinity_routing": q_affinity_routing,
+    "retry_union": q_retry_union,
+    "per_conv_stats": q_per_conv_stats,
+    "conv_gaps": q_conv_gaps,
+    "chunk_dedup": q_chunk_dedup,
+    "props_json": q_props_json,
+    "dedup_exact": q_dedup_exact,
+    "dedup_keep_first": q_dedup_keep_first,
+    "doc_fingerprint": q_doc_fingerprint,
+    "text_stats": q_text_stats,
+    "token_counts": q_token_counts,
+    "lang_pred": q_lang_pred,
+    "lang_source_profile": q_lang_source_profile,
+    "ann_cosine_topk": q_ann_cosine_topk,
+    # rows-only checks (engine-specific hashing / pandas-UDF stages)
+    "minhash_lsh_pairs": q_minhash_lsh_pairs,
+    "simhash64": q_simhash,
+    "ivf_topk": q_ivf_topk,
+    "multimodal_features": q_multimodal_features,
+}
+
+ORACLES: dict[str, str] = {
+    "route_logstash_counts": O_ROUTE_LOGSTASH,
+    "route_target_index_override": O_ROUTE_OVERRIDE,
+    "timestamp_iso": O_TIMESTAMP_ISO,
+    "time_key_parse": O_TIME_KEY_PARSE,
+    "parse_extract": O_PARSE_EXTRACT,
+    "dlq_reason_stats": O_DLQ_REASONS,
+    "enrich_role_counts": O_ENRICH_ROLES,
+    "enrich_tool_miss": O_ENRICH_TOOL_MISS,
+    "genid_md5": _genid_oracle("md5"),
+    "genid_sha256": _genid_oracle("sha256"),
+    "error_taxonomy": O_ERROR_TAXONOMY,
+    "affinity_routing": O_AFFINITY,
+    "retry_union": O_RETRY_UNION,
+    "per_conv_stats": O_PER_CONV,
+    "conv_gaps": O_CONV_GAPS,
+    "chunk_dedup": O_CHUNK_DEDUP,
+    "props_json": O_PROPS_JSON,
+    "dedup_exact": O_DEDUP_EXACT,
+    "dedup_keep_first": O_DEDUP_KEEP_FIRST,
+    "doc_fingerprint": O_FINGERPRINT,
+    "text_stats": O_TEXT_STATS,
+    "token_counts": O_TOKEN_COUNTS,
+    "lang_pred": O_LANG_PRED,
+    "lang_source_profile": O_LANG_PROFILE,
+    "ann_cosine_topk": O_ANN_TOPK,
+}
