@@ -246,8 +246,19 @@ def ivf_topk(
         return out
 
     corpus = base.withColumn("bucket", bucket(F.col("v")))
-    q = corpus.filter(F.col(id_col).isin(query_ids)).select(
-        F.col(id_col).alias("q_id"), F.col("v").alias("qv"), F.col("bucket").alias("qbucket")
+    # multi-probe LSH: each query probes its own bucket plus every
+    # bucket at Hamming distance 1 — the standard recall lever that
+    # keeps the candidate set ~(1+bits)/2^bits of the corpus.
+    probes = F.array(
+        F.col("bucket"), *[F.col("bucket").bitwiseXOR(F.lit(1 << j)) for j in range(n_probe_bits)]
+    )
+    q = (
+        corpus.filter(F.col(id_col).isin(query_ids))
+        .select(
+            F.col(id_col).alias("q_id"),
+            F.col("v").alias("qv"),
+            F.explode(probes).alias("qbucket"),
+        )
     )
     dot = F.aggregate(F.zip_with("v", "qv", lambda a, b: a * b), F.lit(0.0), lambda acc, x: acc + x)
     norm = lambda c: F.sqrt(F.aggregate(F.transform(c, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x))  # noqa: E731

@@ -68,7 +68,12 @@ def salt(df: DataFrame, n_buckets: int, cols: tuple[str, ...] = ("conv_id", "tur
     return df.withColumn("_salt", F.pmod(F.xxhash64(*[F.col(c) for c in cols]), F.lit(n_buckets)))
 
 
-def repartition_salted(df: DataFrame, n_buckets: int, key: str = "conv_id") -> DataFrame:
+def repartition_salted(
+    df: DataFrame, n_buckets: int, key: str = "conv_id", num_partitions: int | None = None
+) -> DataFrame:
     """Repartition by (key, _salt): co-locates most of a conversation
-    while bounding any one partition's share of a hot key."""
-    return salt(df, n_buckets).repartition(F.col(key), F.col("_salt"))
+    while bounding any one partition's share of a hot key. An explicit
+    partition count keeps AQE from coalescing the salted shuffle back
+    into few partitions (which would undo the salting)."""
+    n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    return salt(df, n_buckets).repartition(n, F.col(key), F.col("_salt"))

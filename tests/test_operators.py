@@ -1,0 +1,146 @@
+"""Unit tests: routing placeholders, flattening, nested accessors,
+dataset ops (minhash/simhash/ANN), salting, multimodal plumbing."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from fluent_plugin_opensearch_spark import PipelineConfig
+from fluent_plugin_opensearch_spark.operators import dataset as DS
+from fluent_plugin_opensearch_spark.operators.enrich import repartition_salted, salt
+from fluent_plugin_opensearch_spark.operators.routing import expand_placeholders, route
+from fluent_plugin_opensearch_spark.operators.timestamps import inject_timestamp
+from fluent_plugin_opensearch_spark.operators.transforms import (
+    flatten_struct_cols,
+    resolve_key_path,
+)
+
+
+def test_placeholder_expansion(spark):
+    """R1: ${tag}, strftime, ${custom_key} (README.md:1191-1242)."""
+    df = spark.createDataFrame(
+        [("app.logs", "us-east", "2024-03-05 10:00:00")],
+        "tag string, region string, ts_s string",
+    ).withColumn("_event_ts", F.to_timestamp("ts_s"))
+    col = expand_placeholders("idx-${tag}-${region}-%Y.%m.%d")
+    got = df.select(col.alias("x")).collect()[0]["x"]
+    assert got == "idx-app.logs-us-east-2024.03.05"
+
+
+def test_logstash_index_utc_boundary(spark):
+    """R3: 1s past midnight UTC lands in the new UTC day
+    (test_out_opensearch.rb:2483-2510 semantics, UTC mode)."""
+    cfg = PipelineConfig(logstash_format=True, logstash_prefix="logstash")
+    df = spark.createDataFrame([("2024-03-05 00:00:01",)], "s string").withColumn(
+        "ts", F.to_timestamp("s")
+    )
+    out = route(inject_timestamp(df, cfg), cfg)
+    assert out.collect()[0]["_index"] == "logstash-2024.03.05"
+
+
+def test_index_name_lowercased(spark):
+    """out_opensearch.rb:998-1001 / test :2032-2042."""
+    cfg = PipelineConfig(target_index_key="target_index")
+    df = spark.createDataFrame(
+        [("UPPERCASE-Index", "2024-03-05 10:00:00")], "target_index string, s string"
+    ).withColumn("ts", F.to_timestamp("s"))
+    out = route(inject_timestamp(df, cfg), cfg)
+    row = out.collect()[0]
+    assert row["_index"] == "uppercase-index"
+    assert "target_index" not in out.columns
+
+
+def test_flatten_nested_struct(spark):
+    """P2: {"foo":{"bar":"baz"}} → {"foo_bar":"baz"}; arrays untouched
+    (out_opensearch.rb:801-814; test :2426-2446)."""
+    df = spark.createDataFrame(
+        [((("baz", [1, 2]),),)],
+        "foo struct<inner: struct<bar: string, arr: array<int>>>",
+    )
+    out = flatten_struct_cols(df, "_")
+    assert set(out.columns) == {"foo_inner_bar", "foo_inner_arr"}
+    row = out.collect()[0]
+    assert row["foo_inner_bar"] == "baz" and row["foo_inner_arr"] == [1, 2]
+
+
+def test_nested_key_accessor(spark):
+    """P9: $.nested.field / $['nested']['field'] / legacy a.b
+    (out_opensearch.rb:558-571; test :3095-3125)."""
+    df = spark.createDataFrame([(("42",),)], "nested struct<request_id: string>")
+    for path in ["$.nested.request_id", "$['nested']['request_id']", "nested.request_id"]:
+        assert df.select(resolve_key_path(path).alias("x")).collect()[0]["x"] == "42"
+
+
+def test_minhash_finds_planted_near_dup(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again " * 5
+    near = base.replace("lazy", "sleepy")
+    far = "completely different content about spark shuffles and partitions " * 5
+    df = spark.createDataFrame(
+        [(1, base), (2, near), (3, far)], "doc_id bigint, text string"
+    )
+    pairs = DS.minhash_lsh_pairs(df, min_jaccard=0.5).collect()
+    found = {(r["doc_a"], r["doc_b"]) for r in pairs}
+    assert (1, 2) in found
+    assert all(p in {(1, 2)} for p in found)  # no false pair with doc 3
+
+
+def test_simhash_close_for_near_dup(spark):
+    base = "alpha beta gamma delta epsilon zeta eta theta " * 4
+    near = base.replace("delta", "delta2")
+    far = "one two three four five six seven eight nine ten " * 4
+    df = spark.createDataFrame([(1, base), (2, near), (3, far)], "doc_id bigint, text string")
+    h = {r["doc_id"]: r["simhash"] for r in DS.simhash64(df).collect()}
+    ham = lambda a, b: bin((a ^ b) & (2**64 - 1)).count("1")  # noqa: E731
+    assert ham(h[1], h[2]) < ham(h[1], h[3])
+    assert ham(h[1], h[2]) <= 16
+
+
+def test_ann_exact_vs_ivf_recall(spark):
+    """IVF buckets must contain most of the exact top-k (recall check
+    on the real embeddings table at smoke scale)."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    exact = DS.cosine_topk(emb, [0, 1, 2], k=5).collect()
+    approx = DS.ivf_topk(emb, [0, 1, 2], k=5, n_probe_bits=2).collect()
+    exact_set = {(r["q_id"], r["neighbor_id"]) for r in exact}
+    approx_set = {(r["q_id"], r["neighbor_id"]) for r in approx}
+    recall = len(exact_set & approx_set) / len(exact_set)
+    assert recall >= 0.4  # 2-bit LSH at n=500: coarse, but far above random
+
+
+def test_salting_splits_hot_key(spark):
+    df = spark.createDataFrame(
+        [("hot", i) for i in range(1000)] + [("cold", 1)], "conv_id string, turn_idx int"
+    )
+    salted = salt(df, 8)
+    n_salts = salted.filter(F.col("conv_id") == "hot").select("_salt").distinct().count()
+    assert n_salts == 8
+    # repartition on (conv_id, _salt) actually spreads the hot key
+    parts = (
+        repartition_salted(df, 8)
+        .withColumn("p", F.spark_partition_id())
+        .filter(F.col("conv_id") == "hot")
+        .select("p")
+        .distinct()
+        .count()
+    )
+    assert parts > 1
+
+
+def test_multimodal_feature_extraction(spark):
+    from fluent_plugin_opensearch_spark.operators.multimodal import (
+        extract_features,
+        frame_sample_plan,
+        synth_assets,
+    )
+
+    assets = synth_assets(spark, 32)
+    feats = extract_features(assets)
+    rows = feats.collect()
+    assert len(rows) == 32
+    assert all(len(r["feature"]) == 16 for r in rows)
+    # deterministic: same asset → same feature
+    again = {r["asset_id"]: r["feature"] for r in extract_features(assets).collect()}
+    assert all(again[r["asset_id"]] == r["feature"] for r in rows)
+    # frame sampling fan-out
+    frames = frame_sample_plan(assets, every_nth=5)
+    assert frames.count() >= 32
