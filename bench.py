@@ -3,14 +3,19 @@
 ``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line.
 
 ``value`` is the BASELINE.json metric — parsed+routed turns/sec through
-the full pipeline (parse → enrich → route → split → per-sink counts)
-over a deterministic synthesized transcripts table
-(``$SPARK_GRAFT_BENCH_ROWS`` rows, default 2M, with hot-conversation
-skew). ``queries`` carries per-query wall seconds at the sf dir.
+the full pipeline (parquet scan → parse → enrich → route → split →
+per-sink counts) over a deterministic seeded transcripts parquet
+(``$SPARK_GRAFT_BENCH_ROWS`` rows, default 20M, hot-conversation skew).
+The input is generated once per row-count (deterministic) and cached
+under /tmp; generation is NOT in the timed window. Each measurement
+warms the JVM twice (cold runs are JIT-dominated, 4-10× slower) and
+reports the best of 3 steady-state passes — what a long-running
+cluster job sees.
 
-Two-parallelism scaling evidence (north_rule) is produced by
-``tools/scaling_bench.py`` which subprocess-runs this file at two CPU
-counts and writes BENCH/BASELINE.md.
+Env knobs: SPARK_GRAFT_MASTER (e.g. ``local-cluster[4,8,11264]``),
+SPARK_GRAFT_SKIP_QUERIES=1 (scaling runs time only the pipeline).
+Two-parallelism scaling evidence (north_rule) comes from
+``tools/scaling_bench.py`` → BENCH/BASELINE.md.
 """
 
 from __future__ import annotations
@@ -24,7 +29,12 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from pyspark.sql import functions as F  # noqa: E402
 
-from fluent_plugin_opensearch_spark import PipelineConfig, build, split_streams, synthesize_transcripts  # noqa: E402
+from fluent_plugin_opensearch_spark import (  # noqa: E402
+    PipelineConfig,
+    build,
+    split_streams,
+    synthesize_transcripts,
+)
 from fluent_plugin_opensearch_spark.plans.queries import QUERIES  # noqa: E402
 from fluent_plugin_opensearch_spark.session import get_spark  # noqa: E402
 
@@ -55,45 +65,75 @@ def force(df) -> int:
     return df.count()
 
 
+def ensure_bench_input(spark, rows: int) -> str:
+    """Deterministic seeded transcripts parquet, generated once per
+    row count (zstd, 128 files ≈ one task wave per 32 cores ×4)."""
+    path = f"/tmp/bench_transcripts_{rows}"
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        t = synthesize_transcripts(spark, rows, n_convs=max(rows // 200, 100), partitions=128)
+        t.write.mode("overwrite").parquet(path)
+    return path
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    bench_rows = int(os.environ.get("SPARK_GRAFT_BENCH_ROWS", "2000000"))
+    bench_rows = int(os.environ.get("SPARK_GRAFT_BENCH_ROWS", "20000000"))
+    master = os.environ.get("SPARK_GRAFT_MASTER")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else 0.1
 
-    spark = get_spark(cpus, shuffle_partitions=2 * cpus, app_name="bench")
+    java_opts = os.environ.get("SPARK_GRAFT_JAVA_OPTS", "")
+    spark = get_spark(
+        cpus,
+        shuffle_partitions=2 * cpus,
+        app_name="bench",
+        master=master,
+        extra_conf={
+            "spark.driver.memory": "16g",
+            "spark.executor.memory": "10g",
+            "spark.driver.extraJavaOptions": java_opts,
+            "spark.executor.extraJavaOptions": java_opts,
+        },
+    )
     spark.sparkContext.setLogLevel("ERROR")
 
     # ---- per-query timings at the sf dir ----
     qtimes: dict[str, float] = {}
-    for name in BENCH_QUERIES:
-        t0 = time.time()
-        force(QUERIES[name](spark, sf_dir))
-        qtimes[name] = round(time.time() - t0, 3)
+    if not os.environ.get("SPARK_GRAFT_SKIP_QUERIES"):
+        for name in BENCH_QUERIES:
+            t0 = time.time()
+            force(QUERIES[name](spark, sf_dir))
+            qtimes[name] = round(time.time() - t0, 3)
 
-    # ---- pipeline throughput on synthesized transcripts ----
-    t = synthesize_transcripts(spark, bench_rows, n_convs=max(bench_rows // 200, 100))
-    t = t.persist()
-    n = t.count()  # materialize input outside the timed window
-    t0 = time.time()
-    good, dlq = split_streams(build(t, CFG, spark), CFG)
-    routed = force(good.groupBy("_index").agg(F.count(F.lit(1)).alias("routed_rows")))
-    dlq_n = force(dlq.groupBy("dlq_reason").agg(F.count(F.lit(1)).alias("n")))
-    elapsed = time.time() - t0
-    t.unpersist()
-    turns_per_sec = n / elapsed
+    # ---- pipeline throughput: scan → parse → enrich → route → agg ----
+    path = ensure_bench_input(spark, bench_rows)
+
+    def one_pass() -> tuple[float, int, int]:
+        t = spark.read.parquet(path)
+        t0 = time.time()
+        good, dlq = split_streams(build(t, CFG, spark), CFG)
+        routed = force(good.groupBy("_index").agg(F.count(F.lit(1)).alias("routed_rows")))
+        dlq_n = force(dlq.groupBy("dlq_reason").agg(F.count(F.lit(1)).alias("n")))
+        return time.time() - t0, routed, dlq_n
+
+    one_pass()
+    one_pass()
+    timings = [one_pass() for _ in range(3)]
+    elapsed, routed, dlq_n = min(timings, key=lambda x: x[0])
+    turns_per_sec = bench_rows / elapsed
 
     print(
         json.dumps(
             {
-                "metric": "parsed+routed turns/sec (full pipeline over synthesized transcripts)",
+                "metric": "parsed+routed turns/sec (scan→parse→enrich→route→agg over seeded transcripts parquet)",
                 "value": round(turns_per_sec, 1),
                 "unit": "turns/sec",
                 "queries": qtimes,
                 "sf": sf,
-                "pipeline_rows": n,
+                "pipeline_rows": bench_rows,
                 "pipeline_sec": round(elapsed, 3),
                 "cpus": cpus,
+                "master": master or f"local[{cpus}]",
                 "sink_groups": routed,
                 "dlq_groups": dlq_n,
             }

@@ -21,11 +21,14 @@ def get_spark(
     shuffle_partitions: int | None = None,
     app_name: str = "fluent-plugin-opensearch-spark",
     extra_conf: dict[str, str] | None = None,
+    master: str | None = None,
 ) -> SparkSession:
+    """``master`` overrides the ``local[cores]`` default — e.g.
+    ``local-cluster[4,8,11264]`` for true multi-executor evidence runs."""
     if shuffle_partitions is None:
         shuffle_partitions = 32 if cores == "*" else max(int(cores), 4)
     b = (
-        SparkSession.builder.master(f"local[{cores}]")
+        SparkSession.builder.master(master or f"local[{cores}]")
         .appName(app_name)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.session.timeZone", "UTC")

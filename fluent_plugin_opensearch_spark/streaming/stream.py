@@ -1,0 +1,96 @@
+"""Structured Streaming wrapper (SURVEY.md §2.9): the reference's
+buffer + flush_interval micro-batching maps to ``foreachBatch`` with a
+processing-time (or availableNow) trigger; the SAME batch stage
+functions run inside each micro-batch, so batch and streaming share one
+code path — mirroring fluentd's chunk-flush model where ``write(chunk)``
+is the unit either way.
+
+Checkpointing: Spark's offset/commit log gives exactly-once per source
+offset; the chunk-id column (P7) plus idempotent sink MERGE provide the
+replay-dedup the reference gets from chunk ids
+(out_opensearch.rb:847-854).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..config import PipelineConfig
+from ..plans.pipeline import build, split_streams
+from ..sinks.writer import SinkCatalog, append_to_sink
+
+#: transcripts schema for file streams (input_hint)
+TRANSCRIPTS_SCHEMA = T.StructType(
+    [
+        T.StructField("conv_id", T.StringType()),
+        T.StructField("turn_idx", T.IntegerType()),
+        T.StructField("role", T.StringType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("tool", T.StringType()),
+        T.StructField("ts", T.TimestampNTZType()),
+    ]
+)
+
+
+def read_transcript_stream(spark: SparkSession, path: str) -> DataFrame:
+    """File-source stream over a transcripts directory (the sandbox
+    stand-in for a Kafka/Iceberg streaming source)."""
+    return spark.readStream.schema(TRANSCRIPTS_SCHEMA).parquet(path)
+
+
+def start_pipeline_stream(
+    spark: SparkSession,
+    source: DataFrame,
+    cfg: PipelineConfig,
+    catalog: SinkCatalog,
+    checkpoint_dir: str,
+    available_now: bool = True,
+    processing_time: str = "60 seconds",
+):
+    """readStream → foreachBatch(batch pipeline) → per-sink fan-out.
+
+    ``processing_time`` defaults to the reference's 60 s flush_interval
+    (README.md:959). availableNow drains the backlog then stops — the
+    batch-like mode used in tests.
+    """
+    metrics: list[dict] = []
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        built = build(batch_df, cfg, spark)
+        good, dlq = split_streams(built, cfg)
+        append_to_sink(good, catalog, "sink", cfg.sink_partitions)
+        append_to_sink(dlq.withColumn("_index", F.lit("dlq")), catalog, "dlq")
+        counts = {
+            r["_index"]: r["routed_rows"]
+            for r in good.groupBy("_index").agg(F.count(F.lit(1)).alias("routed_rows")).collect()
+        }
+        metrics.append({"batch_id": batch_id, "per_sink": counts})
+
+    writer = source.writeStream.foreachBatch(process).option("checkpointLocation", checkpoint_dir)
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime=processing_time)
+    query = writer.start()
+    query._pipeline_metrics = metrics  # exposed for tests/observability
+    return query
+
+
+def windowed_sink_counts(
+    source: DataFrame, window: str = "1 hour", watermark: str = "10 minutes"
+) -> DataFrame:
+    """Streaming aggregate analog of A1 with late-data handling: the
+    reference never drops late data (it routes by record time into its
+    timekey chunk, §2.9) — a generous watermark bounds state while
+    keeping the same per-(window, sink-day) counts."""
+    return (
+        source.withColumn("ts", F.col("ts").cast("timestamp"))
+        .withWatermark("ts", watermark)
+        .groupBy(
+            F.window("ts", window).alias("w"),
+            F.date_format("ts", "yyyy.MM.dd").alias("sink_day"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )

@@ -1,0 +1,95 @@
+"""Physical-plan quality gates (SURVEY.md §7 hard part 5 and the
+scale brief): filters/columns reach the parquet scan, dictionary joins
+broadcast, the hot path stays inside whole-stage codegen with zero
+Python UDFs, and the full pipeline contains no unexpected shuffle.
+These are regression tests for the 100 TB plan shape, enforced at toy
+scale via explain() text."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from fluent_plugin_opensearch_spark import PipelineConfig, build, split_streams
+from fluent_plugin_opensearch_spark.operators.enrich import enrich
+
+from .conftest import SF_SMOKE
+
+CFG = PipelineConfig(logstash_format=True, logstash_prefix="logs")
+
+
+def _plan(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
+
+
+def test_filter_and_projection_pushdown(spark):
+    """A selective filter + narrow projection must reach the scan:
+    PushedFilters non-empty and ReadSchema pruned to used columns."""
+    e = spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+    q = e.filter(F.col("event_type") == "error").select("event_id", "ts")
+    plan = _plan(q)
+    assert "PushedFilters: [IsNotNull(event_type), EqualTo(event_type,error)" in plan
+    # column pruning: only the projected + filtered columns are read
+    # (3 of the table's 6), not the full row
+    assert "ReadSchema: struct<event_id:bigint,ts:timestamp_ntz,event_type:string>" in plan
+
+
+def test_enrichment_joins_are_broadcast(spark):
+    t = spark.read.parquet(f"{SF_SMOKE}/events.parquet").selectExpr(
+        "CASE WHEN event_id % 2 = 0 THEN 'user' ELSE 'tool' END AS role",
+        "CASE WHEN event_id % 3 = 0 THEN 'search' ELSE 'python' END AS tool",
+        "event_id",
+    )
+    plan = _plan(enrich(t, spark))
+    # both dictionary joins broadcast (each join appears in the tree
+    # and in the detail section, so ≥2 distinct operator ids)
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+
+
+def test_pipeline_has_no_python_udf_and_single_shuffle(spark):
+    """The whole record pipeline (parse→enrich→route→meta) must be UDF-
+    free (vectorized/JVM) and shuffle only for the final aggregation."""
+    from fluent_plugin_opensearch_spark import load_transcripts
+
+    t = load_transcripts(spark, SF_SMOKE)
+    good, _ = split_streams(build(t, CFG, spark), CFG)
+    agg = good.groupBy("_index").agg(F.count(F.lit(1)).alias("n"))
+    plan = _plan(agg)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # shuffle exchanges (excluding broadcast exchanges): at most the
+    # transcripts row_number window + the final groupBy — and column
+    # pruning should eliminate the window when turn_idx is unused
+    import re
+
+    shuffles = len(re.findall(r"(?<!Broadcast)Exchange \(", plan))
+    assert shuffles <= 2, plan
+    # partial + final aggregation (map-side combine) around the shuffle
+    assert plan.count("HashAggregate") >= 2
+    # (WholeStageCodegen markers only appear in executed AQE plans;
+    # codegen coverage is asserted on the non-AQE parse plan below)
+
+
+def test_parse_is_codegen_compiled(spark):
+    from fluent_plugin_opensearch_spark.operators.parse import parse_text
+
+    df = spark.createDataFrame([("x",)], "text string")
+    plan = _plan(parse_text(df))
+    assert "BatchEvalPython" not in plan
+    assert "codegen id" in plan  # projection compiled into whole-stage codegen
+
+
+def test_pandas_udf_twin_uses_arrow(spark):
+    """The pandas-UDF escape hatch must be Arrow-batched (ArrowEval),
+    never row-at-a-time Python (BatchEvalPython)."""
+    from fluent_plugin_opensearch_spark.operators.parse import parse_text_pandas
+
+    df = spark.createDataFrame([("[INFO] req=1 took=2ms x",)], "text string")
+    plan = _plan(parse_text_pandas(df))
+    assert "ArrowEvalPython" in plan
+    assert "BatchEvalPython" not in plan
+    # and semantics match the built-in path
+    from fluent_plugin_opensearch_spark.operators.parse import parse_text
+
+    a = parse_text(df).select("level", "req_id", "duration_ms", "message", "parse_ok").collect()
+    b = parse_text_pandas(df).select("level", "req_id", "duration_ms", "message", "parse_ok").collect()
+    assert a == b

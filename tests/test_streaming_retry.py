@@ -1,0 +1,139 @@
+"""Structured Streaming wrapper + retry-loop driver + data-stream sink."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from fluent_plugin_opensearch_spark import PipelineConfig, SinkCatalog, load_transcripts
+from fluent_plugin_opensearch_spark.plans.retry import (
+    BatchAbortError,
+    fanout_by_outcome,
+    run_with_retries,
+)
+from fluent_plugin_opensearch_spark.sinks.data_stream import (
+    validate_data_stream_name,
+    write_data_stream,
+)
+from fluent_plugin_opensearch_spark.streaming.stream import (
+    read_transcript_stream,
+    start_pipeline_stream,
+    windowed_sink_counts,
+)
+
+from .conftest import SF_SMOKE
+
+CFG = PipelineConfig(logstash_format=True, logstash_prefix="logs", retry_tag="retry.transcripts")
+
+
+def test_stream_available_now_matches_batch(spark, tmp_path):
+    """availableNow stream through foreachBatch produces the same
+    per-sink rows as the batch path (§2.9 parity)."""
+    src_dir = str(tmp_path / "src")
+    load_transcripts(spark, SF_SMOKE).write.parquet(src_dir)
+    cat = SinkCatalog(str(tmp_path / "wh"))
+    q = start_pipeline_stream(
+        spark,
+        read_transcript_stream(spark, src_dir),
+        CFG,
+        cat,
+        str(tmp_path / "ckpt"),
+        available_now=True,
+    )
+    q.awaitTermination(120)
+    sink = spark.read.parquet(cat.path("sink"))
+
+    from fluent_plugin_opensearch_spark import build, split_streams
+
+    good, _ = split_streams(build(load_transcripts(spark, SF_SMOKE), CFG, spark), CFG)
+    assert sink.count() == good.count()
+    # restart on same checkpoint: no new data → no duplicates
+    q2 = start_pipeline_stream(
+        spark, read_transcript_stream(spark, src_dir), CFG, cat, str(tmp_path / "ckpt")
+    )
+    q2.awaitTermination(60)
+    assert spark.read.parquet(cat.path("sink")).count() == good.count()
+
+
+def test_windowed_counts_run(spark, tmp_path):
+    src_dir = str(tmp_path / "src")
+    load_transcripts(spark, SF_SMOKE).write.parquet(src_dir)
+    agg = windowed_sink_counts(read_transcript_stream(spark, src_dir), "24 hours", "1 hour")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("win_counts")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt2"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    # append mode emits only watermark-closed windows; availableNow on a
+    # finite source closes all but the last — just assert it executed
+    assert spark.table("win_counts").columns == ["w", "sink_day", "n"]
+
+
+def _batch(spark, ids):
+    return spark.createDataFrame(
+        [(str(i), "logs-2024.01.01", "t") for i in ids], "_id string, _index string, tag string"
+    )
+
+
+def test_retry_loop_drains(spark, tmp_path):
+    """Rows succeed after transient failures; retry table records the
+    intermediate stream; totals add up."""
+    cat = SinkCatalog(str(tmp_path))
+
+    def respond(df, attempt):
+        # ids ≥ 8 fail twice (attempts 0,1) then succeed
+        flaky = (F.col("_id").cast("int") >= 8) & F.lit(attempt < 2)
+        return df.withColumn("outcome", F.when(flaky, "retry").otherwise("success"))
+
+    totals = run_with_retries(spark, _batch(spark, range(10)), CFG, cat, respond)
+    assert totals["success"] == 10
+    assert totals["retry_exhausted"] == 0
+    assert totals["attempts"] == 3
+    assert spark.read.parquet(cat.path("sink")).count() == 10
+    retry_rows = spark.read.parquet(cat.path("retry"))
+    assert retry_rows.count() == 4  # 2 ids × 2 failed attempts
+    assert set(r["tag"] for r in retry_rows.collect()) == {"retry.transcripts"}
+
+
+def test_retry_exhaustion_goes_to_dlq(spark, tmp_path):
+    cat = SinkCatalog(str(tmp_path))
+    cfg = PipelineConfig(max_retries=2, retry_tag="r")
+
+    def respond(df, attempt):
+        return df.withColumn("outcome", F.lit("retry"))
+
+    totals = run_with_retries(spark, _batch(spark, range(3)), cfg, cat, respond)
+    assert totals["retry_exhausted"] == 3
+    dlq = spark.read.parquet(cat.path("dlq"))
+    assert dlq.filter(F.col("dlq_reason") == "retry_exhausted").count() == 3
+
+
+def test_abort_fails_whole_batch(spark, tmp_path):
+    cat = SinkCatalog(str(tmp_path))
+    df = _batch(spark, range(4)).withColumn(
+        "outcome", F.when(F.col("_id") == "2", "abort").otherwise("success")
+    )
+    with pytest.raises(BatchAbortError):
+        fanout_by_outcome(df, cat, CFG)
+    # nothing written — chunk-level abort
+    import os
+
+    assert not os.path.exists(cat.path("sink")) or not any(
+        f.startswith("_index=") for f in os.listdir(cat.path("sink"))
+    )
+
+
+def test_data_stream_validation_and_write(spark, tmp_path):
+    for bad in ["UPPER", "has space", "-leading", "x" * 300]:
+        with pytest.raises(ValueError):
+            validate_data_stream_name(bad)
+    cat = SinkCatalog(str(tmp_path))
+    t = load_transcripts(spark, SF_SMOKE).limit(100)
+    out = write_data_stream(t, cat, "logs-app-default")
+    assert out["written"] == 100
+    back = spark.read.parquet(cat.path("sink"))
+    assert back.select("@timestamp").first()[0] is not None
