@@ -58,6 +58,11 @@ def build(df: DataFrame, cfg: PipelineConfig, spark: SparkSession, tag: str = "t
         .transform(lambda d: include_tag(d, cfg))
         .transform(lambda d: remove_keys(d, cfg))
     )
+    if cfg.flatten_hashes:
+        # P2: flatten any struct columns into parent<sep>child
+        from ..operators.transforms import flatten_struct_cols
+
+        out = flatten_struct_cols(out, cfg.flatten_hashes_separator)
     if cfg.genid_record_keys or cfg.genid_use_entire_record:
         out = add_hash_id(out, cfg)
     return out
