@@ -185,6 +185,33 @@ def simhash64(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
     return docs.select(F.col(id_col), sim.alias("simhash"))
 
 
+def simhash_md5(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 32) -> DataFrame:
+    """Engine-portable SimHash: token hash = first 15 hex digits of
+    md5 (60 bits, identical in any engine), bit votes via one
+    explode→groupBy aggregation (same scale shape as minhash). Used by
+    the oracle-checked ``simhash_md5`` query; ``simhash64`` is the
+    faster xxhash64 production variant."""
+    toks = docs.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(F.split(F.trim(F.col(text_col)), r"\s+"))).alias("tok"),
+    )
+    th = F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10).cast("bigint")
+    hashed = toks.select(id_col, th.alias("th"))
+    votes = [
+        F.sum(
+            F.when(F.shiftright(F.col("th"), j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"_v{j}")
+        for j in range(bits)
+    ]
+    agg = hashed.groupBy(id_col).agg(*votes)
+    sim = None
+    for j in range(bits):
+        bit = F.when(F.col(f"_v{j}") > 0, F.lit(1).cast("bigint")).otherwise(F.lit(0).cast("bigint"))
+        term = F.shiftleft(bit, j)
+        sim = term if sim is None else sim + term
+    return agg.select(F.col(id_col), sim.alias("simhash"))
+
+
 # ---------------------------------------------------------------------------
 # Similarity search (ANN over embeddings)
 # ---------------------------------------------------------------------------

@@ -528,6 +528,60 @@ SELECT q_id, neighbor_id,
 FROM pairs QUALIFY rank <= 10"""
 
 
+def q_simhash_md5(spark, sf_dir):
+    return DS.simhash_md5(_docs(spark, sf_dir), bits=32)
+
+
+def _simhash_oracle(bits: int = 32) -> str:
+    votes = ",\n  ".join(
+        f"sum(CASE WHEN (th >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS v{j}" for j in range(bits)
+    )
+    terms = " + ".join(f"(CASE WHEN v{j} > 0 THEN 1::BIGINT ELSE 0 END << {j})" for j in range(bits))
+    return rf"""
+WITH toks AS (
+  SELECT doc_id, unnest(list_distinct(string_split_regex(trim(text), '\s+'))) AS tok
+  FROM documents),
+h AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS th FROM toks),
+votes AS (SELECT doc_id,
+  {votes}
+FROM h GROUP BY doc_id)
+SELECT doc_id, {terms} AS simhash FROM votes"""
+
+
+def q_knn_label_vote(spark, sf_dir):
+    """kNN classification over the embeddings: majority label of the
+    top-10 cosine neighbors, deterministic tie-break by label."""
+    from pyspark.sql.window import Window
+
+    emb = _emb(spark, sf_dir)
+    topk = DS.cosine_topk(emb, query_ids=list(range(20)), k=10)
+    labeled = topk.join(
+        emb.select(F.col("vec_id").alias("neighbor_id"), "label"), "neighbor_id"
+    )
+    counts = labeled.groupBy("q_id", "label").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("q_id").orderBy(F.desc("n"), F.col("label"))
+    return (
+        counts.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("q_id", F.col("label").alias("pred_label"), F.col("n").alias("votes"))
+    )
+
+
+O_KNN_LABEL = """
+WITH q AS (SELECT vec_id AS q_id, embedding AS qv FROM embeddings WHERE vec_id < 20),
+pairs AS (
+  SELECT q.q_id, e.vec_id AS neighbor_id, e.label,
+         list_cosine_similarity(e.embedding, q.qv) AS sim
+  FROM embeddings e, q WHERE e.vec_id != q.q_id),
+topk AS (
+  SELECT q_id, neighbor_id, label,
+         row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, neighbor_id) AS rnk
+  FROM pairs QUALIFY rnk <= 10),
+counts AS (SELECT q_id, label, count(*) AS n FROM topk GROUP BY 1, 2)
+SELECT q_id, label AS pred_label, n AS votes FROM counts
+QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY n DESC, label) = 1"""
+
+
 # --- rows-only (non-SQL-expressible / engine-specific hash functions) ---
 
 def q_minhash_lsh_pairs(spark, sf_dir):
@@ -580,6 +634,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lang_pred": q_lang_pred,
     "lang_source_profile": q_lang_source_profile,
     "ann_cosine_topk": q_ann_cosine_topk,
+    "simhash_md5": q_simhash_md5,
+    "knn_label_vote": q_knn_label_vote,
     # rows-only checks (engine-specific hashing / pandas-UDF stages)
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
     "simhash64": q_simhash,
@@ -613,4 +669,6 @@ ORACLES: dict[str, str] = {
     "lang_pred": O_LANG_PRED,
     "lang_source_profile": O_LANG_PROFILE,
     "ann_cosine_topk": O_ANN_TOPK,
+    "simhash_md5": _simhash_oracle(32),
+    "knn_label_vote": O_KNN_LABEL,
 }

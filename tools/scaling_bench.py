@@ -85,28 +85,31 @@ def main() -> None:
     hw_eff_4_16 = hw[16] / (4 * hw[4])
     hw_eff_8_32 = hw[32] / (4 * hw[8])
 
+    # local-cluster runs get ONE extra core for the driver JVM (on a
+    # real cluster the driver is its own node; executor cores are the
+    # scaled resource) — cpuset = N executor cores + 1 driver core.
     runs = {
         "local[4], pinned to 4 cores (N)": dict(cpus=4, cpuset="0-3"),
         "local[16], pinned to 16 cores (4N)": dict(cpus=16, cpuset="0-15"),
-        "local-cluster[1,4], pinned to 4 cores (N executors=1)": dict(
-            cpus=4, cpuset="0-3", master="local-cluster[1,4,11264]"
+        "local-cluster[1,4], 4 executor cores + driver core (N executors=1)": dict(
+            cpus=4, cpuset="0-4", master="local-cluster[1,4,11264]"
         ),
-        "local-cluster[4,4], pinned to 16 cores (4N executors=4)": dict(
-            cpus=16, cpuset="0-15", master="local-cluster[4,4,11264]"
+        "local-cluster[4,4], 16 executor cores + driver core (4N executors=4)": dict(
+            cpus=16, cpuset="0-16", master="local-cluster[4,4,11264]"
         ),
     }
     # The sandbox VM has noisy-neighbor CPU steal that varies minute to
-    # minute (visible in the hardware probe). Interleave 2 repetitions
+    # minute (visible in the hardware probe). Interleave 3 repetitions
     # of every config and keep the best — the least-perturbed sample.
     results: dict[str, dict] = {}
-    for rep in range(2):
+    for rep in range(3):
         for label, kw in runs.items():
             r = run_once(rows, **kw)
             if label not in results or r["value"] > results[label]["value"]:
                 results[label] = r
             print(f"[rep {rep}] {label}: {r['value']:,.0f} turns/sec ({r['pipeline_sec']}s)")
 
-    keys = list(results)
+    keys = list(runs)
     eff_cores = results[keys[1]]["value"] / (4 * results[keys[0]]["value"])
     eff_exec = results[keys[3]]["value"] / (4 * results[keys[2]]["value"])
     print(f"efficiency cores 4→16:     {eff_cores:.3f}")
