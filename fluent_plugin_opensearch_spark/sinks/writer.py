@@ -78,6 +78,24 @@ def append_to_sink(df: DataFrame, catalog: SinkCatalog, table: str = "sink", sin
     out.write.mode("append").partitionBy(INDEX_KEY).parquet(catalog.path(table))
 
 
+def _apply_doc_update(existing: DataFrame, batch: DataFrame, update_exclude: tuple[str, ...]) -> DataFrame:
+    """P13: the ``{"doc": record}`` partial-update body
+    (update_body, out_opensearch.rb:776-790): matched rows take the
+    batch's values EXCEPT ``remove_keys_on_update`` columns, which keep
+    their existing values (:792-799). At scale this is the column list
+    of ``MERGE ... WHEN MATCHED THEN UPDATE SET``."""
+    upd_cols = {c for c in batch.columns if c != ID_KEY and c not in update_exclude}
+    e, b = existing.alias("e"), batch.alias("b")
+    return e.join(b, F.col(f"e.{ID_KEY}") == F.col(f"b.{ID_KEY}"), "inner").select(
+        F.col(f"e.{ID_KEY}").alias(ID_KEY),
+        *[
+            (F.col(f"b.{c}") if c in upd_cols else F.col(f"e.{c}")).alias(c)
+            for c in existing.columns
+            if c != ID_KEY
+        ],
+    )
+
+
 def merge_write(
     spark: SparkSession,
     batch: DataFrame,
@@ -116,13 +134,18 @@ def merge_write(
         merged = existing.unionByName(fresh)
         stats = {"input": n_batch, "written": n_fresh, "duplicates": n_batch - n_fresh}
     elif op == OP_UPDATE:
-        ids = existing.select(ID_KEY).distinct()
-        upd = batch.join(ids, on=ID_KEY, how="left_semi")
-        n_upd = upd.count()
-        merged = existing.join(batch.select(ID_KEY).distinct(), on=ID_KEY, how="left_anti").unionByName(upd)
+        matched = _apply_doc_update(existing, batch, cfg.remove_keys_on_update)
+        n_upd = matched.count()
+        merged = existing.join(batch.select(ID_KEY).distinct(), on=ID_KEY, how="left_anti").unionByName(matched)
         stats = {"input": n_batch, "written": n_upd, "duplicates": 0}
     elif op == OP_UPSERT:
-        merged = existing.join(batch.select(ID_KEY).distinct(), on=ID_KEY, how="left_anti").unionByName(batch)
+        matched = _apply_doc_update(existing, batch, cfg.remove_keys_on_update)
+        inserted = batch.join(existing.select(ID_KEY).distinct(), on=ID_KEY, how="left_anti")
+        merged = (
+            existing.join(batch.select(ID_KEY).distinct(), on=ID_KEY, how="left_anti")
+            .unionByName(matched)
+            .unionByName(inserted.select(*matched.columns))
+        )
         stats = {"input": n_batch, "written": n_batch, "duplicates": 0}
     else:  # pragma: no cover
         raise ValueError(op)

@@ -1,0 +1,63 @@
+"""S5 docinfo lineage, P13 partial-update semantics, A2 observe metrics."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from fluent_plugin_opensearch_spark import PipelineConfig, SinkCatalog, build, merge_write
+from fluent_plugin_opensearch_spark.plans.metrics import observe_pipeline_stats
+from fluent_plugin_opensearch_spark.sources.reader import scan_with_docinfo, with_slices
+
+from .conftest import SF_SMOKE
+
+
+def test_docinfo_lineage(spark):
+    df = scan_with_docinfo(spark, f"{SF_SMOKE}/events.parquet")
+    row = df.select("@metadata").first()[0]
+    assert row["source_file"].endswith("events.parquet")
+    assert row["source_row"] >= 0
+    # lineage rows are unique per source row
+    n = df.count()
+    assert df.select("@metadata.source_file", "@metadata.source_row").distinct().count() == n
+
+
+def test_with_slices(spark):
+    df = with_slices(spark.read.parquet(f"{SF_SMOKE}/events.parquet"), 6)
+    assert df.rdd.getNumPartitions() == 6
+
+
+def test_partial_update_excludes_keys(spark, tmp_path):
+    """P13: remove_keys_on_update keeps existing values for excluded
+    columns on update; other columns take the batch value
+    (out_opensearch.rb:792-799)."""
+    cat = SinkCatalog(str(tmp_path))
+    schema = "_id string, _index string, a int, b int"
+    base = spark.createDataFrame([("x", "i1", 1, 10), ("y", "i1", 2, 20)], schema)
+    merge_write(spark, base, cat, PipelineConfig(write_operation="index"))
+
+    upd = spark.createDataFrame([("x", "i1", 100, 999)], schema)
+    cfg = PipelineConfig(write_operation="update", remove_keys_on_update=("b",))
+    merge_write(spark, upd, cat, cfg)
+    rows = {r["_id"]: (r["a"], r["b"]) for r in spark.read.parquet(cat.path("sink")).collect()}
+    assert rows == {"x": (100, 10), "y": (2, 20)}  # a updated, b preserved
+
+    # upsert: matched rows respect the exclusion, new rows insert fully
+    ups = spark.createDataFrame([("x", "i1", 7, 777), ("z", "i1", 3, 30)], schema)
+    cfg2 = PipelineConfig(write_operation="upsert", remove_keys_on_update=("b",))
+    merge_write(spark, ups, cat, cfg2)
+    rows = {r["_id"]: (r["a"], r["b"]) for r in spark.read.parquet(cat.path("sink")).collect()}
+    assert rows == {"x": (7, 10), "y": (2, 20), "z": (3, 30)}
+
+
+def test_observe_metrics_single_pass(spark):
+    from fluent_plugin_opensearch_spark import load_transcripts
+
+    cfg = PipelineConfig(logstash_format=True, logstash_prefix="logs")
+    built = build(load_transcripts(spark, SF_SMOKE), cfg, spark)
+    observed, obs = observe_pipeline_stats(built)
+    total = observed.count()  # one materialization
+    stats = obs.get
+    assert stats["rows"] == total
+    assert stats["parse_errors"] > 0
+    assert stats["null_records"] > 0
+    assert stats["approx_sinks"] >= 25  # ~30 UTC days in the data
