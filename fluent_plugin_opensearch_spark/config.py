@@ -126,19 +126,29 @@ def strftime_to_spark(fmt: str) -> str:
     configure-time validation), not mid-job.
     """
     out: list[str] = []
+    literal: list[str] = []
+
+    def flush_literal() -> None:
+        if literal:
+            run = "".join(literal)
+            # letters must be quoted as ONE block — per-char quoting
+            # ('l''o') reads as an escaped quote in DateTimeFormatter
+            out.append(f"'{run}'" if any(c.isalpha() for c in run) else run)
+            literal.clear()
+
     i = 0
     while i < len(fmt):
-        ch = fmt[i]
-        if ch == "%":
+        if fmt[i] == "%":
             for probe in (fmt[i : i + 3], fmt[i : i + 2]):
                 if probe in _STRFTIME_TO_SPARK:
+                    flush_literal()
                     out.append(_STRFTIME_TO_SPARK[probe])
                     i += len(probe)
                     break
             else:
                 raise ValueError(f"unsupported strftime directive at {fmt[i:]!r}")
         else:
-            # quote letters so date_format treats them literally
-            out.append(f"'{ch}'" if ch.isalpha() else ch)
+            literal.append(fmt[i])
             i += 1
+    flush_literal()
     return "".join(out)

@@ -320,6 +320,54 @@ def ivf_topk(
     )
 
 
+def dedup_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
+    """Connected components over near-duplicate pairs → cluster ids
+    (keep one doc per cluster for corpus dedup). Iterative min-label
+    propagation with lineage cuts per round; converges in
+    O(log(diameter)) rounds for the short chains LSH produces.
+
+    Scale note: each round is one shuffle join on the edge list. For
+    web-scale graphs swap in the large-star/small-star algorithm
+    (Kiveris et al., "Connected Components in MapReduce and Beyond") —
+    same DataFrame shape, fewer rounds on skewed degree distributions.
+    Returns (doc_id, cluster_id = min doc_id in component).
+    """
+    edges = pairs.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    ).union(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
+    edges = edges.distinct().localCheckpoint()
+    labels = (
+        edges.select(F.col("src").alias("id")).distinct().withColumn("cluster_id", F.col("id"))
+    ).localCheckpoint()
+    for _ in range(max_iter):
+        nbr = (
+            edges.join(labels, edges["dst"] == labels["id"], "inner")
+            .groupBy("src")
+            .agg(F.min("cluster_id").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.join(nbr, labels["id"] == nbr["src"], "left")
+            .select(
+                F.col("id"),
+                F.least(F.col("cluster_id"), F.coalesce(F.col("nbr_min"), F.col("cluster_id"))).alias(
+                    "cluster_id"
+                ),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("id").alias("doc_id"), "cluster_id")
+
+
 # ---------------------------------------------------------------------------
 # Text analysis
 # ---------------------------------------------------------------------------

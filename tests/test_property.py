@@ -1,0 +1,93 @@
+"""Batch-randomized parity tests: hundreds of seeded random inputs per
+Spark job, expectations computed independently in Python (hashlib /
+datetime) — the property-test layer on top of the fixed golden vectors."""
+
+from __future__ import annotations
+
+import base64
+import hashlib
+import random
+import string
+
+import pytest
+from pyspark.sql import functions as F
+
+from fluent_plugin_opensearch_spark import PipelineConfig
+from fluent_plugin_opensearch_spark.config import strftime_to_spark
+from fluent_plugin_opensearch_spark.operators.genid import add_hash_id
+
+_DIGESTS = {
+    "md5": hashlib.md5,
+    "sha1": hashlib.sha1,
+    "sha256": hashlib.sha256,
+    "sha512": hashlib.sha512,
+}
+
+
+def _rand_str(rng, n=12):
+    return "".join(rng.choice(string.ascii_letters + string.digits + " _|.-") for _ in range(n))
+
+
+@pytest.mark.parametrize("hash_type", sorted(_DIGESTS))
+def test_genid_parity_random_records(spark, hash_type):
+    """200 seeded random (k1,k2,k3) records, random separator per run:
+    Spark _hash must equal Base64(digest(k1+sep+k2+sep+k3)) from
+    hashlib, including None→'' handling."""
+    rng = random.Random(42)
+    sep = rng.choice(["_", "|", "-", ""])
+    rows = []
+    for _ in range(200):
+        k1 = _rand_str(rng)
+        k2 = None if rng.random() < 0.2 else _rand_str(rng)
+        k3 = _rand_str(rng, 5)
+        rows.append((k1, k2, k3))
+    df = spark.createDataFrame(rows, "k1 string, k2 string, k3 string")
+    cfg = PipelineConfig(
+        genid_use_record_as_seed=True,
+        genid_record_keys=("k1", "k2", "k3"),
+        genid_separator=sep,
+        genid_hash_type=hash_type,
+    )
+    got = [r["_hash"] for r in add_hash_id(df, cfg).collect()]
+    for (k1, k2, k3), g in zip(rows, got):
+        seed = sep.join([k1, k2 or "", k3]).encode()
+        want = base64.b64encode(_DIGESTS[hash_type](seed).digest()).decode()
+        assert g == want, (k1, k2, k3)
+
+
+def test_strftime_translation_parity(spark):
+    """Every supported strftime directive: Spark date_format(translated)
+    must equal Python datetime.strftime on 50 seeded random timestamps."""
+    from datetime import datetime, timedelta
+
+    rng = random.Random(7)
+    fmts = ["%Y.%m.%d", "%Y-%m-%d %H:%M:%S", "%d/%m/%y", "%H%M", "%Y%j", "logs-%Y.%m.%d"]
+    base = datetime(2020, 1, 1)
+    stamps = [base + timedelta(seconds=rng.randrange(0, 200_000_000)) for _ in range(50)]
+    df = spark.createDataFrame([(s,) for s in stamps], "ts timestamp")
+    for fmt in fmts:
+        got = [
+            r["x"]
+            for r in df.select(F.date_format("ts", strftime_to_spark(fmt)).alias("x"))
+            .collect()
+        ]
+        want = [s.strftime(fmt) for s in stamps]
+        assert got == want, fmt
+
+
+def test_strftime_rejects_unknown_directive():
+    with pytest.raises(ValueError):
+        strftime_to_spark("%Q")
+
+
+def test_dedup_clusters_transitive(spark):
+    """Connected components: a-b, b-c chain clusters {a,b,c}; isolated
+    pair clusters separately; deterministic min-id labels."""
+    from fluent_plugin_opensearch_spark.operators.dataset import dedup_clusters
+
+    pairs = spark.createDataFrame(
+        [(2, 1), (2, 3), (3, 7), (10, 11), (20, 21), (21, 22), (22, 20)],
+        "doc_a bigint, doc_b bigint",
+    )
+    got = {r["doc_id"]: r["cluster_id"] for r in dedup_clusters(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 7: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
