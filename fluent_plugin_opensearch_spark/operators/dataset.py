@@ -12,6 +12,18 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+
+def _ensure_parallelism(df: DataFrame, min_parts: int | None = None) -> DataFrame:
+    """Compute-heavy per-row ops (hashing every shingle/token) must not
+    inherit a 1-file input's single partition: a 100 TB table arrives
+    well-split, but a small dimension file would serialize the whole
+    stage. Repartition ONLY when the input has fewer partitions than
+    cores — never an unconditional shuffle."""
+    par = min_parts or df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < par:
+        return df.repartition(par)
+    return df
+
 # ---------------------------------------------------------------------------
 # Deduplication
 # ---------------------------------------------------------------------------
@@ -79,7 +91,7 @@ def minhash_signatures(
     Docs with fewer than ``shingle_k`` tokens produce no shingles and
     are absent from the output (they cannot be near-dup candidates).
     """
-    sh_rows = docs.select(
+    sh_rows = _ensure_parallelism(docs).select(
         F.col(id_col), F.explode(_shingles(text_col, shingle_k)).alias("shingle")
     )
     mins = [
@@ -165,6 +177,7 @@ def simhash64(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
     sign = sum over tokens of (bit_j(xxhash64(tok)) ? 1 : -1); simhash
     bit j = sign > 0. Projection only — linear scale. Near-dup search
     then groups on rotated prefixes (not implemented round 1)."""
+    docs = _ensure_parallelism(docs)
     toks = F.array_distinct(F.split(F.trim(F.col(text_col)), r"\s+"))
     hashes = F.transform(toks, lambda t: F.xxhash64(t))
 
@@ -191,7 +204,7 @@ def simhash_md5(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
     explode→groupBy aggregation (same scale shape as minhash). Used by
     the oracle-checked ``simhash_md5`` query; ``simhash64`` is the
     faster xxhash64 production variant."""
-    toks = docs.select(
+    toks = _ensure_parallelism(docs).select(
         F.col(id_col),
         F.explode(F.array_distinct(F.split(F.trim(F.col(text_col)), r"\s+"))).alias("tok"),
     )
