@@ -582,7 +582,62 @@ SELECT q_id, label AS pred_label, n AS votes FROM counts
 QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY n DESC, label) = 1"""
 
 
+def q_session_stats(spark, sf_dir):
+    """Gap-based sessionization (30 min) + per-session aggregates —
+    window cumulative-sum plan over the (conv_id, turn_idx) order."""
+    from ..operators.sessions import session_stats
+
+    return session_stats(_t(spark, sf_dir), gap_minutes=30)
+
+
+O_SESSION_STATS = (
+    ORACLE_PREFIX
+    + """
+, g AS (
+  SELECT conv_id, turn_idx, role, ts,
+    CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
+              OVER (PARTITION BY conv_id ORDER BY turn_idx) > 30*60*1000000
+         THEN 1 ELSE 0 END AS brk
+  FROM transcripts),
+s AS (
+  SELECT conv_id, role, ts,
+    CAST(sum(brk) OVER (PARTITION BY conv_id ORDER BY turn_idx
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS INT) AS session_no
+  FROM g)
+SELECT conv_id, session_no, count(*) AS n_turns,
+  epoch_us(max(ts)) - epoch_us(min(ts)) AS span_us,
+  CAST(count(DISTINCT role) AS BIGINT) AS n_roles
+FROM s GROUP BY 1, 2"""
+)
+
+
+def q_top_convs_per_day(spark, sf_dir):
+    """Top-3 most active conversations per UTC day (heavy hitters)."""
+    from ..operators.sessions import top_k_per_day
+
+    return top_k_per_day(_t(spark, sf_dir), k=3)
+
+
+O_TOP_CONVS = (
+    ORACLE_PREFIX
+    + """
+, counts AS (
+  SELECT strftime(ts, '%Y-%m-%d') AS day, conv_id, count(*) AS n_turns
+  FROM transcripts GROUP BY 1, 2)
+SELECT day, conv_id, n_turns,
+  CAST(row_number() OVER (PARTITION BY day ORDER BY n_turns DESC, conv_id) AS INT) AS rank
+FROM counts QUALIFY rank <= 3"""
+)
+
+
 # --- rows-only (non-SQL-expressible / engine-specific hash functions) ---
+
+
+def q_dedup_clusters(spark, sf_dir):
+    """Near-dup clusters: LSH pairs → connected components (iterative
+    min-label propagation; non-SQL-expressible → rows-only check)."""
+    pairs = DS.minhash_lsh_pairs(_docs(spark, sf_dir), min_jaccard=0.2)
+    return DS.dedup_clusters(pairs)
 
 def q_minhash_lsh_pairs(spark, sf_dir):
     return DS.minhash_lsh_pairs(_docs(spark, sf_dir), num_hashes=32, bands=8, min_jaccard=0.2)
@@ -636,8 +691,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_cosine_topk": q_ann_cosine_topk,
     "simhash_md5": q_simhash_md5,
     "knn_label_vote": q_knn_label_vote,
+    "session_stats": q_session_stats,
+    "top_convs_per_day": q_top_convs_per_day,
     # rows-only checks (engine-specific hashing / pandas-UDF stages)
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
+    "dedup_clusters": q_dedup_clusters,
     "simhash64": q_simhash,
     "ivf_topk": q_ivf_topk,
     "multimodal_features": q_multimodal_features,
@@ -671,4 +729,6 @@ ORACLES: dict[str, str] = {
     "ann_cosine_topk": O_ANN_TOPK,
     "simhash_md5": _simhash_oracle(32),
     "knn_label_vote": O_KNN_LABEL,
+    "session_stats": O_SESSION_STATS,
+    "top_convs_per_day": O_TOP_CONVS,
 }
