@@ -81,6 +81,21 @@ def route(df: DataFrame, cfg: PipelineConfig, ts_col: str = "_event_ts") -> Data
     return out
 
 
+def alias_col(cfg: PipelineConfig, app_name: str, ts_col: str = "_event_ts") -> Column:
+    """R4: rollover alias ``prefix<sep>app_name<sep>date``
+    (out_opensearch.rb:992-993,1025) — the write-alias a rollover
+    policy targets while ``_index`` names the concrete backing index."""
+    date_fmt = strftime_to_spark(cfg.logstash_dateformat)
+    return F.lower(
+        F.concat_ws(
+            cfg.logstash_prefix_separator,
+            F.lit(cfg.logstash_prefix),
+            F.lit(app_name),
+            F.date_format(F.col(ts_col), date_fmt),
+        )
+    )
+
+
 def affinity_override(
     df: DataFrame, existing_ids: DataFrame, id_col: str = "_id"
 ) -> DataFrame:

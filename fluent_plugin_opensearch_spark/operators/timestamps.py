@@ -62,7 +62,13 @@ def inject_timestamp(df: DataFrame, cfg: PipelineConfig, event_time_col: str = "
         parse_error = F.lit(False)
         best_ts = event_ts
 
-    iso = F.date_format(best_ts, ISO8601_US)
+    # time_precision: reference emits `time_precision` sub-second
+    # digits (default 9 = ns, out_opensearch.rb:107,980-983); Spark
+    # timestamps are µs, so precision caps at 6 — extra digits would
+    # be fabricated zeros, not data.
+    precision = min(cfg.time_precision, 6)
+    fmt = ISO8601_US.replace("SSSSSS", "S" * precision) if precision > 0 else ISO8601_US.replace(".SSSSSS", "")
+    iso = F.date_format(best_ts, fmt)
     return (
         df.withColumn(TIMESTAMP_KEY, F.coalesce(existing, iso))
         .withColumn("_event_ts", best_ts)
