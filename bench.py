@@ -122,6 +122,24 @@ def main() -> None:
     elapsed, routed, dlq_n = min(timings, key=lambda x: x[0])
     turns_per_sec = bench_rows / elapsed
 
+    # IO-inclusive variant: one full fan-out write (partitionBy _index,
+    # consolidated per-sink files) — the end-to-end sink number
+    write_sec = None
+    if not os.environ.get("SPARK_GRAFT_SKIP_WRITE"):
+        import shutil
+        import tempfile
+
+        from fluent_plugin_opensearch_spark.sinks.writer import SinkCatalog, append_to_sink
+
+        wdir = tempfile.mkdtemp(prefix="bench_sink_")
+        try:
+            good, _dlq = split_streams(build(spark.read.parquet(path), CFG, spark), CFG)
+            t0 = time.time()
+            append_to_sink(good, SinkCatalog(wdir), "sink", sink_partitions=2 * cpus)
+            write_sec = round(time.time() - t0, 3)
+        finally:
+            shutil.rmtree(wdir, ignore_errors=True)
+
     print(
         json.dumps(
             {
@@ -132,6 +150,8 @@ def main() -> None:
                 "sf": sf,
                 "pipeline_rows": bench_rows,
                 "pipeline_sec": round(elapsed, 3),
+                "write_sec": write_sec,
+                "write_turns_per_sec": round(bench_rows / write_sec, 1) if write_sec else None,
                 "cpus": cpus,
                 "master": master or f"local[{cpus}]",
                 "sink_groups": routed,

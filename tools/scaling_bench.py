@@ -62,6 +62,7 @@ def run_once(rows: int, cpus: int, cpuset: str, master: str | None = None) -> di
         SPARK_GRAFT_CPUS=str(cpus),
         SPARK_GRAFT_BENCH_ROWS=str(rows),
         SPARK_GRAFT_SKIP_QUERIES="1",
+        SPARK_GRAFT_SKIP_WRITE="1",
         SPARK_GRAFT_JAVA_OPTS=GC,
     )
     if master:
