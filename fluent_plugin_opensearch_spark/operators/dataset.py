@@ -113,6 +113,7 @@ def minhash_lsh_pairs(
     bands: int = 8,
     shingle_k: int = 3,
     min_jaccard: float = 0.5,
+    max_bucket_size: int = 1000,
 ) -> DataFrame:
     """MinHash + LSH near-duplicate pairs:
 
@@ -120,10 +121,15 @@ def minhash_lsh_pairs(
     shuffle, on band hash — candidate generation is O(candidates), not
     O(n²)) → exact shingle-set Jaccard verification of candidates.
 
-    Returns (doc_a, doc_b, jaccard) with doc_a < doc_b. At 100 TB the
-    bucket join is the standard LSH plan: skewed mega-buckets (boiler-
-    plate shingles) should be capped/salted; AQE skew-join is the
-    backstop here.
+    Returns (doc_a, doc_b, jaccard) with doc_a < doc_b.
+
+    Mega-bucket guard: a bucket of B docs yields B²/2 candidates, so
+    one boilerplate bucket (empty pages, license headers) can dwarf the
+    rest of the job at corpus scale. Buckets larger than
+    ``max_bucket_size`` are DROPPED before the self-join (standard
+    web-dedup practice: members of a mega-bucket still co-occur in
+    their other, more selective bands). AQE skew-join backstops what
+    remains.
     """
     rows = num_hashes // bands
     # Materialize signatures ONCE: the signature expression is ~32
@@ -149,6 +155,16 @@ def minhash_lsh_pairs(
             )
         ).alias("lsh"),
     ).select(id_col, "lsh.band", "lsh.bucket")
+
+    # mega-bucket guard (see docstring): window count per bucket is a
+    # second shuffle on the same (band, bucket) key — co-partitioned
+    # with the join that follows, so effectively free
+    bucket_counts = banded.groupBy("band", "bucket").agg(F.count(F.lit(1)).alias("_bn"))
+    banded = (
+        banded.join(bucket_counts, on=["band", "bucket"], how="inner")
+        .filter(F.col("_bn") <= max_bucket_size)
+        .drop("_bn")
+    )
 
     cand = (
         banded.alias("a")

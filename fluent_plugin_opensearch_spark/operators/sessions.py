@@ -38,6 +38,59 @@ def session_stats(df: DataFrame, gap_minutes: int = 30) -> DataFrame:
     )
 
 
+def sessionize_blocked(df: DataFrame, gap_minutes: int = 30, block_size: int = 10_000) -> DataFrame:
+    """Skew-safe sessionize: identical output to ``sessionize`` but a
+    hot conversation (FIXTURES.md: ~1% of convs at 1000× turns) never
+    lands in one window task.
+
+    Two-phase prefix sum:
+      1. window per (conv_id, block = turn_idx ÷ block_size): local
+         break flags + local cumulative sum — a hot conv splits into
+         turns/block_size parallel tasks;
+      2. window per conv_id over BLOCK SUMMARIES (one row per block —
+         tiny): carry break totals across blocks, plus the boundary
+         break decided by prev-block-last-ts vs this-block-first-ts;
+      3. join offsets back on (conv_id, block).
+
+    The same decomposition pattern applies to any associative scan over
+    the turn order (running token counts, tool-call chains).
+    """
+    gap_us = gap_minutes * 60 * 1_000_000
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    blocked = df.withColumn("_block", (F.col("turn_idx") / block_size).cast("bigint"))
+
+    w_local = Window.partitionBy("conv_id", "_block").orderBy("turn_idx")
+    gap_local = us - F.lag(us).over(w_local)  # null at block start
+    brk_local = F.when(gap_local > gap_us, 1).otherwise(0)
+    local = blocked.withColumn(
+        "_local_cum", F.sum(brk_local).over(w_local.rowsBetween(Window.unboundedPreceding, 0))
+    ).withColumn("_us", us)
+
+    summaries = local.groupBy("conv_id", "_block").agg(
+        F.max("_local_cum").alias("_blk_breaks"),
+        F.min_by("_us", "turn_idx").alias("_first_us"),
+        F.max_by("_us", "turn_idx").alias("_last_us"),
+    )
+    w_blk = Window.partitionBy("conv_id").orderBy("_block")
+    boundary_brk = F.when(
+        F.col("_first_us") - F.lag("_last_us").over(w_blk) > gap_us, 1
+    ).otherwise(0)
+    offsets = summaries.withColumn(
+        "_offset",
+        F.coalesce(
+            F.sum(F.col("_blk_breaks")).over(w_blk.rowsBetween(Window.unboundedPreceding, -1)),
+            F.lit(0),
+        )
+        + F.sum(boundary_brk).over(w_blk.rowsBetween(Window.unboundedPreceding, 0)),
+    ).select("conv_id", "_block", "_offset")
+
+    return (
+        local.join(offsets, on=["conv_id", "_block"], how="inner")
+        .withColumn("session_no", (F.col("_local_cum") + F.col("_offset")).cast("int"))
+        .drop("_block", "_local_cum", "_us", "_offset")
+    )
+
+
 def top_k_per_day(df: DataFrame, k: int = 3) -> DataFrame:
     """Heavy hitters: the k most active conversations per UTC day
     (rank by turn count, deterministic tie-break by conv_id). One

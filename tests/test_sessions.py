@@ -1,0 +1,62 @@
+"""Sessionization equivalence: the skew-safe blocked variant must be
+row-identical to the plain window version, including breaks that land
+exactly on block boundaries."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from fluent_plugin_opensearch_spark import load_transcripts
+from fluent_plugin_opensearch_spark.operators.sessions import sessionize, sessionize_blocked
+
+from .conftest import SF_SMOKE
+
+
+def _collect_sessions(df):
+    return {
+        (r["conv_id"], r["turn_idx"]): r["session_no"]
+        for r in df.select("conv_id", "turn_idx", "session_no").collect()
+    }
+
+
+def test_blocked_equals_plain_on_real_data(spark):
+    t = load_transcripts(spark, SF_SMOKE)
+    plain = _collect_sessions(sessionize(t, gap_minutes=30))
+    blocked = _collect_sessions(sessionize_blocked(t, gap_minutes=30, block_size=7))
+    assert blocked == plain
+
+
+def test_blocked_boundary_breaks(spark):
+    """Gaps exactly at block boundaries: turn b*k-1 → b*k with a break,
+    and consecutive blocks without a break."""
+    rows = []
+    ts0 = 1_700_000_000_000_000  # µs
+    t = ts0
+    for i in range(20):
+        # break before turns 5 (block boundary at block_size=5) and 12
+        if i in (5, 12):
+            t += 3600 * 1_000_000
+        else:
+            t += 60 * 1_000_000
+        rows.append(("c1", i, t))
+    df = spark.createDataFrame(rows, "conv_id string, turn_idx int, raw_us bigint").withColumn(
+        "ts", F.timestamp_micros(F.col("raw_us"))
+    )
+    plain = _collect_sessions(sessionize(df, gap_minutes=30))
+    blocked = _collect_sessions(sessionize_blocked(df, gap_minutes=30, block_size=5))
+    assert blocked == plain
+    assert plain[("c1", 19)] == 2  # two breaks → session 2
+
+
+def test_blocked_splits_hot_conversation(spark):
+    """The hot conv's phase-1 window runs across multiple partitions
+    (the whole point): more than one block per conv."""
+    df = spark.createDataFrame(
+        [("hot", i, 1_700_000_000_000_000 + i * 1_000_000) for i in range(1000)],
+        "conv_id string, turn_idx int, raw_us bigint",
+    ).withColumn("ts", F.timestamp_micros(F.col("raw_us")))
+    out = sessionize_blocked(df, gap_minutes=30, block_size=100)
+    assert out.count() == 1000
+    # 10 blocks → phase-1 parallelism 10 for this single conversation
+    n_blocks = df.withColumn("b", (F.col("turn_idx") / 100).cast("int")).select("b").distinct().count()
+    assert n_blocks == 10
