@@ -54,6 +54,11 @@ BENCH_QUERIES = [
     "simhash64",
     "text_stats",
     "ann_cosine_topk",
+    "session_stats",
+    "top_convs_per_day",
+    "simhash_md5",
+    "knn_label_vote",
+    "dedup_clusters",
 ]
 
 CFG = PipelineConfig(logstash_format=True, logstash_prefix="logs")

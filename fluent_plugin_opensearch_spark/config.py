@@ -61,10 +61,11 @@ class PipelineConfig:
     write_operation: str = OP_INDEX
     emit_error_for_missing_id: bool = False  # :175 (test :3503-3603)
     # P13: keys excluded from the UPDATE SET on update/upsert
-    # (remove_keys_on_update, out_opensearch.rb:792-799); the
-    # per-record variant (remove_keys_on_update_key) is deferred
-    # (SURVEY.md §7 hard part 4 — rarely used)
+    # (remove_keys_on_update, out_opensearch.rb:792-799), plus the
+    # per-record variant: a record field naming that row's exclusions
+    # (remove_keys_on_update_key)
     remove_keys_on_update: tuple[str, ...] = ()
+    remove_keys_on_update_key: str | None = None
 
     # --- retry / DLQ (out_opensearch.rb:149-165) ---
     retry_tag: str | None = None             # :149

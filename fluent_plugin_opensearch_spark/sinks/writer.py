@@ -110,21 +110,42 @@ def append_to_sink(
     out.write.mode("append").partitionBy(INDEX_KEY).parquet(catalog.path(table))
 
 
-def _apply_doc_update(existing: DataFrame, batch: DataFrame, update_exclude: tuple[str, ...]) -> DataFrame:
+def _apply_doc_update(
+    existing: DataFrame,
+    batch: DataFrame,
+    update_exclude: tuple[str, ...],
+    update_exclude_key: str | None = None,
+) -> DataFrame:
     """P13: the ``{"doc": record}`` partial-update body
     (update_body, out_opensearch.rb:776-790): matched rows take the
     batch's values EXCEPT ``remove_keys_on_update`` columns, which keep
     their existing values (:792-799). At scale this is the column list
-    of ``MERGE ... WHEN MATCHED THEN UPDATE SET``."""
+    of ``MERGE ... WHEN MATCHED THEN UPDATE SET``.
+
+    ``update_exclude_key`` is the per-record variant
+    (remove_keys_on_update_key, out_opensearch.rb:792-799): a record
+    field holding a comma-separated list of keys to exclude for THAT
+    row — a per-row CASE on each column instead of a static list.
+    """
     upd_cols = {c for c in batch.columns if c != ID_KEY and c not in update_exclude}
+    if update_exclude_key:
+        upd_cols.discard(update_exclude_key)
     e, b = existing.alias("e"), batch.alias("b")
+
+    def value(c: str):
+        if c not in upd_cols:
+            return F.col(f"e.{c}")
+        if update_exclude_key and update_exclude_key in batch.columns:
+            dyn_excluded = F.array_contains(
+                F.split(F.coalesce(F.col(f"b.{update_exclude_key}"), F.lit("")), r"\s*,\s*"),
+                c,
+            )
+            return F.when(dyn_excluded, F.col(f"e.{c}")).otherwise(F.col(f"b.{c}"))
+        return F.col(f"b.{c}")
+
     return e.join(b, F.col(f"e.{ID_KEY}") == F.col(f"b.{ID_KEY}"), "inner").select(
         F.col(f"e.{ID_KEY}").alias(ID_KEY),
-        *[
-            (F.col(f"b.{c}") if c in upd_cols else F.col(f"e.{c}")).alias(c)
-            for c in existing.columns
-            if c != ID_KEY
-        ],
+        *[value(c).alias(c) for c in existing.columns if c != ID_KEY],
     )
 
 
@@ -166,12 +187,12 @@ def merge_write(
         merged = existing.unionByName(fresh)
         stats = {"input": n_batch, "written": n_fresh, "duplicates": n_batch - n_fresh}
     elif op == OP_UPDATE:
-        matched = _apply_doc_update(existing, batch, cfg.remove_keys_on_update)
+        matched = _apply_doc_update(existing, batch, cfg.remove_keys_on_update, cfg.remove_keys_on_update_key)
         n_upd = matched.count()
         merged = existing.join(batch.select(ID_KEY).distinct(), on=ID_KEY, how="left_anti").unionByName(matched)
         stats = {"input": n_batch, "written": n_upd, "duplicates": 0}
     elif op == OP_UPSERT:
-        matched = _apply_doc_update(existing, batch, cfg.remove_keys_on_update)
+        matched = _apply_doc_update(existing, batch, cfg.remove_keys_on_update, cfg.remove_keys_on_update_key)
         inserted = batch.join(existing.select(ID_KEY).distinct(), on=ID_KEY, how="left_anti")
         merged = (
             existing.join(batch.select(ID_KEY).distinct(), on=ID_KEY, how="left_anti")

@@ -78,6 +78,60 @@ def start_pipeline_stream(
     return query
 
 
+def sessionize_stream(source: DataFrame, gap_minutes: int = 30, watermark: str = "1 hour") -> DataFrame:
+    """Custom stateful streaming operator (§2.9 / task brief:
+    ``applyInPandasWithState``): per-conversation session assignment
+    that carries (last_ts_us, session_no, next_turn hint) across
+    micro-batches — the streaming twin of ``operators.sessions
+    .sessionize``. Arrow-batched; state is one tiny tuple per conv.
+
+    State eviction: a processing-time timeout closes conversations idle
+    longer than the gap, bounding state size on unbounded conv streams.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    gap_us = gap_minutes * 60 * 1_000_000
+
+    def assign(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        conv_id = key[0]
+        if state.hasTimedOut:
+            state.remove()
+            return
+        last_us, session_no = state.get if state.exists else (None, 0)
+        frames = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values("turn_idx")
+            # normalize to µs regardless of the Arrow datetime unit
+            us = pdf["ts"].astype("datetime64[us]").astype("int64")
+            sessions = []
+            for v in us:
+                if last_us is not None and v - last_us > gap_us:
+                    session_no += 1
+                last_us = v
+                sessions.append(session_no)
+            pdf = pdf.assign(session_no=pd.array(sessions, dtype="int32"), conv_id=conv_id)
+            frames.append(pdf[["conv_id", "turn_idx", "ts", "session_no"]])
+        state.update((int(last_us), int(session_no)))
+        state.setTimeoutDuration(gap_minutes * 60 * 1000)
+        if frames:
+            yield pd.concat(frames)
+
+    return (
+        source.withColumn("ts", F.col("ts").cast("timestamp"))
+        .withWatermark("ts", watermark)
+        .groupBy("conv_id")
+        .applyInPandasWithState(
+            assign,
+            outputStructType="conv_id string, turn_idx int, ts timestamp, session_no int",
+            stateStructType="last_us bigint, session_no int",
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+        )
+    )
+
+
 def windowed_sink_counts(
     source: DataFrame, window: str = "1 hour", watermark: str = "10 minutes"
 ) -> DataFrame:

@@ -61,3 +61,22 @@ def test_observe_metrics_single_pass(spark):
     assert stats["parse_errors"] > 0
     assert stats["null_records"] > 0
     assert stats["approx_sinks"] >= 25  # ~30 UTC days in the data
+
+
+def test_per_record_update_exclusion(spark, tmp_path):
+    """P13 per-record variant: remove_keys_on_update_key names a record
+    field holding that row's comma-separated exclusions."""
+    cat = SinkCatalog(str(tmp_path))
+    schema = "_id string, _index string, a int, b int, skip_cols string"
+    base = spark.createDataFrame(
+        [("x", "i1", 1, 10, None), ("y", "i1", 2, 20, None)], schema
+    )
+    merge_write(spark, base, cat, PipelineConfig(write_operation="index"))
+    upd = spark.createDataFrame(
+        [("x", "i1", 100, 999, "b"), ("y", "i1", 200, 888, None)], schema
+    )
+    cfg = PipelineConfig(write_operation="update", remove_keys_on_update_key="skip_cols")
+    merge_write(spark, upd, cat, cfg)
+    rows = {r["_id"]: (r["a"], r["b"]) for r in spark.read.parquet(cat.path("sink")).collect()}
+    # x excluded 'b' for its own row; y excluded nothing
+    assert rows == {"x": (100, 10), "y": (200, 888)}

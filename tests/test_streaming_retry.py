@@ -137,3 +137,34 @@ def test_data_stream_validation_and_write(spark, tmp_path):
     assert out["written"] == 100
     back = spark.read.parquet(cat.path("sink"))
     assert back.select("@timestamp").first()[0] is not None
+
+
+def test_stateful_stream_sessionize(spark, tmp_path):
+    """applyInPandasWithState sessionization matches the batch window
+    version over an availableNow drain of the same data."""
+    from fluent_plugin_opensearch_spark.operators.sessions import sessionize
+    from fluent_plugin_opensearch_spark.streaming.stream import sessionize_stream
+
+    src_dir = str(tmp_path / "src")
+    t = load_transcripts(spark, SF_SMOKE).limit(500)
+    t.write.parquet(src_dir)
+    stream = sessionize_stream(read_transcript_stream(spark, src_dir), gap_minutes=30)
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("sess_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        (r["conv_id"], r["turn_idx"]): r["session_no"]
+        for r in spark.table("sess_stream").collect()
+    }
+    src = spark.read.parquet(src_dir)
+    want = {
+        (r["conv_id"], r["turn_idx"]): r["session_no"]
+        for r in sessionize(src, gap_minutes=30).collect()
+    }
+    assert got == want and len(got) == 500
