@@ -582,6 +582,45 @@ SELECT q_id, label AS pred_label, n AS votes FROM counts
 QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY n DESC, label) = 1"""
 
 
+def q_placeholder_routing(spark, sf_dir):
+    """R1: ${tag}/${custom_key}/strftime placeholder expansion as the
+    per-row index template 'idx-${tag}-${role}-%Y.%m.%d'."""
+    from ..operators.routing import expand_placeholders
+
+    t = _t(spark, sf_dir).withColumn("tag", F.lit("transcripts")).withColumn("_event_ts", F.col("ts"))
+    idx = expand_placeholders("idx-${tag}-${role}-%Y.%m.%d")
+    return t.select(F.col("conv_id"), F.col("turn_idx"), idx.alias("target"))
+
+
+O_PLACEHOLDER = (
+    ORACLE_PREFIX
+    + """
+SELECT conv_id, turn_idx,
+  concat('idx-transcripts-', role, '-', strftime(ts, '%Y.%m.%d')) AS target
+FROM transcripts"""
+)
+
+
+def q_alias_rollover(spark, sf_dir):
+    """R4: rollover alias prefix-app-date alongside the concrete index
+    (out_opensearch.rb:992-993,1025) — per-alias routed counts."""
+    from ..operators.routing import alias_col
+
+    cfg = PipelineConfig(logstash_format=True, logstash_prefix="logs")
+    t = inject_timestamp(_t(spark, sf_dir), cfg)
+    return t.withColumn("_alias", alias_col(cfg, "chat")).groupBy("_alias").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
+O_ALIAS = (
+    ORACLE_PREFIX
+    + """
+SELECT lower(concat('logs-chat-', strftime(ts, '%Y.%m.%d'))) AS _alias, count(*) AS n
+FROM transcripts GROUP BY 1"""
+)
+
+
 def q_session_stats(spark, sf_dir):
     """Gap-based sessionization (30 min) + per-session aggregates —
     window cumulative-sum plan over the (conv_id, turn_idx) order."""
@@ -693,6 +732,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "knn_label_vote": q_knn_label_vote,
     "session_stats": q_session_stats,
     "top_convs_per_day": q_top_convs_per_day,
+    "placeholder_routing": q_placeholder_routing,
+    "alias_rollover": q_alias_rollover,
     # rows-only checks (engine-specific hashing / pandas-UDF stages)
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
     "dedup_clusters": q_dedup_clusters,
@@ -731,4 +772,6 @@ ORACLES: dict[str, str] = {
     "knn_label_vote": O_KNN_LABEL,
     "session_stats": O_SESSION_STATS,
     "top_convs_per_day": O_TOP_CONVS,
+    "placeholder_routing": O_PLACEHOLDER,
+    "alias_rollover": O_ALIAS,
 }

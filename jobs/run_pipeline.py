@@ -39,6 +39,11 @@ def parse_args(argv: list[str]) -> argparse.Namespace:
     p.add_argument("--sink-partitions", type=int, default=0)
     p.add_argument("--streaming", action="store_true")
     p.add_argument("--checkpoint", default=None, help="streaming checkpoint dir")
+    p.add_argument(
+        "--available-now",
+        action="store_true",
+        help="streaming: drain the current backlog then stop (bounded run)",
+    )
     return p.parse_args(argv)
 
 
@@ -76,9 +81,10 @@ def main(argv: list[str]) -> None:
             cfg,
             catalog,
             args.checkpoint or f"{args.warehouse}/_checkpoints",
-            available_now=False,
+            available_now=args.available_now,
         )
         q.awaitTermination()
+        print(json.dumps({"streaming": True, "batches": len(q._pipeline_metrics)}))
         return
 
     transcripts = (
