@@ -241,6 +241,60 @@ def simhash_md5(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
     return agg.select(F.col(id_col), sim.alias("simhash"))
 
 
+def simhash_neardup_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 8,
+    n_bands: int = 4,
+) -> DataFrame:
+    """SimHash near-duplicate search: band the 64-bit simhash into
+    ``n_bands`` 16-bit blocks — any pair within Hamming distance
+    n_bands−1 shares at least one identical band (pigeonhole), so a
+    band-equality self-join generates candidates without O(n²); then
+    verify exact Hamming ≤ ``max_hamming`` via bit_count(xor).
+
+    Same shuffle shape as the MinHash LSH plan: one band-keyed join.
+    Returns (doc_a, doc_b, hamming).
+    """
+    sims = simhash64(docs, id_col, text_col).persist()
+    banded = sims.select(
+        F.col(id_col),
+        F.col("simhash"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright(F.col("simhash"), b * (64 // n_bands))
+                        .bitwiseAND(F.lit((1 << (64 // n_bands)) - 1))
+                        .alias("block"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("lsh"),
+    ).select(id_col, "simhash", "lsh.band", "lsh.block")
+    cand = (
+        banded.alias("a")
+        .join(banded.alias("b"), on=["band", "block"], how="inner")
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("doc_a"),
+            F.col(f"b.{id_col}").alias("doc_b"),
+            F.col("a.simhash").alias("h_a"),
+            F.col("b.simhash").alias("h_b"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    hamming = F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b")))
+    return (
+        cand.withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Similarity search (ANN over embeddings)
 # ---------------------------------------------------------------------------
@@ -395,6 +449,70 @@ def dedup_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
         if changed == 0:
             break
     return labels.select(F.col("id").alias("doc_id"), "cluster_id")
+
+
+def embedding_neardup_pairs(
+    emb: DataFrame,
+    threshold: float = 0.99,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_probe_bits: int = 4,
+    exact: bool = False,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (the semantic-dedup stage
+    of a training-data pipeline). Default path: sign-LSH bucketing
+    (same hyperplanes as ``ivf_topk``) generates candidates, exact
+    cosine verifies — one band-keyed shuffle, no O(n²). ``exact=True``
+    is the brute-force baseline (broadcastable only for small corpora;
+    used by the oracle-checked query).
+
+    Returns (vec_a, vec_b, cos) with vec_a < vec_b, cos ≥ threshold.
+    """
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    norm = F.sqrt(F.aggregate(F.transform(v, lambda x: x * x), F.lit(0.0), lambda a, x: a + x))
+    base = emb.select(F.col(id_col), v.alias("v"), norm.alias("nrm"))
+
+    if exact:
+        pairs = base.alias("a").join(
+            F.broadcast(base.alias("b")), F.col(f"a.{id_col}") < F.col(f"b.{id_col}"), "inner"
+        )
+    else:
+        def bucket_bit(col, j):
+            proj = F.aggregate(
+                F.zip_with(
+                    col,
+                    F.sequence(F.lit(0), F.size(col) - 1),
+                    lambda x, i: x
+                    * (F.pmod(F.xxhash64(i, F.lit(j)), F.lit(2)).cast("double") * 2.0 - 1.0),
+                ),
+                F.lit(0.0),
+                lambda a, x: a + x,
+            )
+            return F.when(proj > 0, F.lit(1 << j)).otherwise(F.lit(0))
+
+        bucket = bucket_bit(F.col("v"), 0)
+        for j in range(1, n_probe_bits):
+            bucket = bucket + bucket_bit(F.col("v"), j)
+        bucketed = base.withColumn("bucket", bucket)
+        pairs = bucketed.alias("a").join(
+            bucketed.alias("b"),
+            (F.col("a.bucket") == F.col("b.bucket")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+            "inner",
+        )
+
+    dot = F.aggregate(
+        F.zip_with(F.col("a.v"), F.col("b.v"), lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x
+    )
+    cos = dot / (F.col("a.nrm") * F.col("b.nrm"))
+    return (
+        pairs.select(
+            F.col(f"a.{id_col}").alias("vec_a"),
+            F.col(f"b.{id_col}").alias("vec_b"),
+            cos.alias("cos"),
+        )
+        .filter(F.col("cos") >= threshold)
+        .select("vec_a", "vec_b", F.round("cos", 4).alias("cos"))
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -669,6 +669,42 @@ FROM counts QUALIFY rank <= 3"""
 )
 
 
+def q_embedding_neardup(spark, sf_dir):
+    """Embedding-cosine near-dup (exact baseline): 5 planted scaled
+    copies of real vectors must pair with their originals at cos≈1.0
+    while random pairs (max cos ~0.51 in this data) stay out."""
+    emb = _emb(spark, sf_dir)
+    v_dbl = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    base = emb.select("vec_id", v_dbl.alias("embedding"))
+    planted = base.filter(F.col("vec_id") < 5).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform(F.col("embedding"), lambda x: x * 1.001).alias("embedding"),
+    )
+    return DS.embedding_neardup_pairs(
+        base.unionByName(planted), threshold=0.99, exact=True
+    )
+
+
+O_EMBEDDING_NEARDUP = """
+WITH base AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+planted AS (
+  SELECT vec_id + 100000 AS vec_id, list_transform(v, x -> x * 1.001) AS v
+  FROM base WHERE vec_id < 5),
+allv AS (SELECT * FROM base UNION ALL SELECT * FROM planted),
+n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM allv)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 4) AS cos
+FROM n a, n b
+WHERE a.vec_id < b.vec_id
+  AND list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= 0.99"""
+
+
+def q_simhash_neardup(spark, sf_dir):
+    """SimHash banded near-dup candidates (rows-only: xxhash64-based)."""
+    return DS.simhash_neardup_pairs(_docs(spark, sf_dir), max_hamming=4)
+
+
 # --- rows-only (non-SQL-expressible / engine-specific hash functions) ---
 
 
@@ -734,7 +770,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "top_convs_per_day": q_top_convs_per_day,
     "placeholder_routing": q_placeholder_routing,
     "alias_rollover": q_alias_rollover,
+    "embedding_neardup": q_embedding_neardup,
     # rows-only checks (engine-specific hashing / pandas-UDF stages)
+    "simhash_neardup": q_simhash_neardup,
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
     "dedup_clusters": q_dedup_clusters,
     "simhash64": q_simhash,
@@ -774,4 +812,5 @@ ORACLES: dict[str, str] = {
     "top_convs_per_day": O_TOP_CONVS,
     "placeholder_routing": O_PLACEHOLDER,
     "alias_rollover": O_ALIAS,
+    "embedding_neardup": O_EMBEDDING_NEARDUP,
 }

@@ -144,3 +144,33 @@ def test_multimodal_feature_extraction(spark):
     # frame sampling fan-out
     frames = frame_sample_plan(assets, every_nth=5)
     assert frames.count() >= 32
+
+
+def test_simhash_neardup_planted(spark):
+    # rich vocab so one swapped token flips few bits (tiny vocabs make
+    # every vote marginal — hamming blows past any banding guarantee)
+    base = " ".join(f"w{i:02d}" for i in range(40))
+    near = base.replace("w39", "w39x")
+    far = " ".join(f"z{i:02d}" for i in range(40))
+    df = spark.createDataFrame([(1, base), (2, near), (3, far)], "doc_id bigint, text string")
+    pairs = {(r["doc_a"], r["doc_b"]): r["hamming"] for r in DS.simhash_neardup_pairs(df, max_hamming=16).collect()}
+    assert (1, 2) in pairs and pairs[(1, 2)] <= 16
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_embedding_neardup_planted(spark):
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    base = emb.select("vec_id", v.alias("embedding"))
+    planted = base.filter(F.col("vec_id") < 3).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * 1.001).alias("embedding"),
+    )
+    allv = base.unionByName(planted)
+    exact = {(r["vec_a"], r["vec_b"]) for r in DS.embedding_neardup_pairs(allv, 0.99, exact=True).collect()}
+    assert exact == {(0, 100000), (1, 100001), (2, 100002)}
+    # LSH path: identical-direction vectors always share the bucket
+    lsh = {(r["vec_a"], r["vec_b"]) for r in DS.embedding_neardup_pairs(allv, 0.99).collect()}
+    assert lsh == exact
