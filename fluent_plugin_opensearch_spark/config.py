@@ -10,7 +10,7 @@ catalog config (SURVEY.md §2.1 S11) and intentionally absent here.
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 from .constants import (
     OP_INDEX,

@@ -20,9 +20,9 @@ from pyspark.sql import functions as F
 from ..config import PipelineConfig
 from ..operators import dataset as DS
 from ..operators.classify import classify
-from ..operators.enrich import ROLE_DICT_SQL, TOOL_DICT_SQL, enrich, role_dict, tool_dict
+from ..operators.enrich import ROLE_DICT_SQL, TOOL_DICT_SQL, enrich
 from ..operators.genid import add_hash_id
-from ..operators.parse import GROK_PATTERN, parse_text
+from ..operators.parse import parse_text
 from ..operators.routing import affinity_override, per_sink_counts, route
 from ..operators.timestamps import inject_timestamp
 from ..plans.pipeline import build, split_streams
