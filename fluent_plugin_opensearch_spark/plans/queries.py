@@ -582,6 +582,18 @@ SELECT q_id, label AS pred_label, n AS votes FROM counts
 QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY n DESC, label) = 1"""
 
 
+def q_turn_text_ordered(spark, sf_dir):
+    """The BASELINE invariant verbatim: per-turn text equality under
+    stable (conv_id, turn_idx) ordering — the full text column streamed
+    through the engine unchanged."""
+    return _t(spark, sf_dir).select("conv_id", "turn_idx", "text", "role", "tool")
+
+
+O_TURN_TEXT = (
+    ORACLE_PREFIX + "\nSELECT conv_id, turn_idx, text, role, tool FROM transcripts"
+)
+
+
 def q_placeholder_routing(spark, sf_dir):
     """R1: ${tag}/${custom_key}/strftime placeholder expansion as the
     per-row index template 'idx-${tag}-${role}-%Y.%m.%d'."""
@@ -771,6 +783,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "placeholder_routing": q_placeholder_routing,
     "alias_rollover": q_alias_rollover,
     "embedding_neardup": q_embedding_neardup,
+    "turn_text_ordered": q_turn_text_ordered,
     # rows-only checks (engine-specific hashing / pandas-UDF stages)
     "simhash_neardup": q_simhash_neardup,
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
@@ -813,4 +826,5 @@ ORACLES: dict[str, str] = {
     "placeholder_routing": O_PLACEHOLDER,
     "alias_rollover": O_ALIAS,
     "embedding_neardup": O_EMBEDDING_NEARDUP,
+    "turn_text_ordered": O_TURN_TEXT,
 }

@@ -78,15 +78,24 @@ def start_pipeline_stream(
     return query
 
 
-def sessionize_stream(source: DataFrame, gap_minutes: int = 30, watermark: str = "1 hour") -> DataFrame:
+def sessionize_stream(
+    source: DataFrame,
+    gap_minutes: int = 30,
+    watermark: str = "1 hour",
+    evict_state: bool = False,
+) -> DataFrame:
     """Custom stateful streaming operator (§2.9 / task brief:
     ``applyInPandasWithState``): per-conversation session assignment
-    that carries (last_ts_us, session_no, next_turn hint) across
-    micro-batches — the streaming twin of ``operators.sessions
-    .sessionize``. Arrow-batched; state is one tiny tuple per conv.
+    that carries (last_ts_us, session_no) across micro-batches — the
+    streaming twin of ``operators.sessions.sessionize``. Arrow-batched;
+    state is one tiny tuple per conv.
 
-    State eviction: a processing-time timeout closes conversations idle
-    longer than the gap, bounding state size on unbounded conv streams.
+    ``evict_state=True`` adds a processing-time timeout that drops
+    conversations idle longer than the gap — REQUIRED on unbounded
+    continuous streams to bound state size, but it must stay OFF for
+    availableNow drains: pending timers make availableNow spin through
+    endless empty micro-batches trying to advance processing time
+    (measured: 2.9 s NoTimeout vs never-terminating with timeouts).
     """
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
@@ -96,7 +105,7 @@ def sessionize_stream(source: DataFrame, gap_minutes: int = 30, watermark: str =
         import pandas as pd
 
         conv_id = key[0]
-        if state.hasTimedOut:
+        if evict_state and state.hasTimedOut:
             state.remove()
             return
         last_us, session_no = state.get if state.exists else (None, 0)
@@ -114,7 +123,8 @@ def sessionize_stream(source: DataFrame, gap_minutes: int = 30, watermark: str =
             pdf = pdf.assign(session_no=pd.array(sessions, dtype="int32"), conv_id=conv_id)
             frames.append(pdf[["conv_id", "turn_idx", "ts", "session_no"]])
         state.update((int(last_us), int(session_no)))
-        state.setTimeoutDuration(gap_minutes * 60 * 1000)
+        if evict_state:
+            state.setTimeoutDuration(gap_minutes * 60 * 1000)
         if frames:
             yield pd.concat(frames)
 
@@ -127,7 +137,9 @@ def sessionize_stream(source: DataFrame, gap_minutes: int = 30, watermark: str =
             outputStructType="conv_id string, turn_idx int, ts timestamp, session_no int",
             stateStructType="last_us bigint, session_no int",
             outputMode="append",
-            timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+            timeoutConf=GroupStateTimeout.ProcessingTimeTimeout
+            if evict_state
+            else GroupStateTimeout.NoTimeout,
         )
     )
 
