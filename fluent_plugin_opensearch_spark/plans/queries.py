@@ -582,6 +582,27 @@ SELECT q_id, label AS pred_label, n AS votes FROM counts
 QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY n DESC, label) = 1"""
 
 
+def q_quality_filter(spark, sf_dir):
+    """Corpus quality gate: keep documents passing length/diversity/
+    stopword thresholds (the consumer of text_stats — what a training-
+    data pipeline actually drops). Returns kept doc ids + the verdict
+    counts are implied by row count."""
+    stats = DS.text_stats(_docs(spark, sf_dir))
+    keep = (
+        (F.col("n_tokens") >= 20)
+        & (F.col("n_chars") >= 100)
+        & (F.col("n_distinct_tokens") * 4 >= F.col("n_tokens"))  # diversity ≥ 0.25
+    )
+    return stats.filter(keep).select("doc_id")
+
+
+O_QUALITY_FILTER = r"""
+WITH toks AS (SELECT doc_id, length(text) AS n_chars,
+                     string_split_regex(trim(text), '\s+') AS t FROM documents)
+SELECT doc_id FROM toks
+WHERE len(t) >= 20 AND n_chars >= 100 AND len(list_distinct(t)) * 4 >= len(t)"""
+
+
 def q_turn_text_ordered(spark, sf_dir):
     """The BASELINE invariant verbatim: per-turn text equality under
     stable (conv_id, turn_idx) ordering — the full text column streamed
@@ -784,6 +805,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "alias_rollover": q_alias_rollover,
     "embedding_neardup": q_embedding_neardup,
     "turn_text_ordered": q_turn_text_ordered,
+    "quality_filter": q_quality_filter,
     # rows-only checks (engine-specific hashing / pandas-UDF stages)
     "simhash_neardup": q_simhash_neardup,
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
@@ -827,4 +849,5 @@ ORACLES: dict[str, str] = {
     "alias_rollover": O_ALIAS,
     "embedding_neardup": O_EMBEDDING_NEARDUP,
     "turn_text_ordered": O_TURN_TEXT,
+    "quality_filter": O_QUALITY_FILTER,
 }
