@@ -69,6 +69,49 @@ def parse_text_pandas(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+#: default pattern dictionary: named patterns tried in order, first
+#: match wins (grok semantics). Each entry: (name, regex, field names)
+PATTERN_DICT: list[tuple[str, str, list[str]]] = [
+    ("req_line", GROK_PATTERN, ["level", "req_id", "duration_ms", "message"]),
+    ("corrupted", r"^corrupted (\w+) payload ##", ["corrupted_kind"]),
+]
+
+
+def parse_text_multi(
+    df: DataFrame,
+    patterns: list[tuple[str, str, list[str]]] | None = None,
+    text_col: str = "text",
+) -> DataFrame:
+    """Grok pattern-dictionary parse: try each named pattern in order,
+    first match wins; emit ``pattern`` (the winning name, NULL if none)
+    plus every field any pattern defines (NULL where not produced).
+    Pure built-ins — each pattern's rlike/extract is codegen'd, and the
+    first-match ladder is one CASE column per field."""
+    patterns = patterns or PATTERN_DICT
+    t = F.col(text_col)
+    matchers = [(name, t.isNotNull() & t.rlike(rx)) for name, rx, _ in patterns]
+
+    winner = F.lit(None).cast("string")
+    for name, cond in reversed(matchers):
+        winner = F.when(cond, F.lit(name)).otherwise(winner)
+
+    out = df.withColumn("pattern", winner)
+    all_fields: list[str] = []
+    for _, _, fields in patterns:
+        for f_name in fields:
+            if f_name not in all_fields:
+                all_fields.append(f_name)
+    for f_name in all_fields:
+        col = F.lit(None).cast("string")
+        # first pattern (in order) that defines the field AND matches wins
+        for (name, rx, fields), (_, cond) in zip(reversed(patterns), reversed(matchers)):
+            if f_name in fields:
+                group_idx = fields.index(f_name) + 1
+                col = F.when(cond & (F.col("pattern") == name), F.nullif(F.regexp_extract(t, rx, group_idx), F.lit(""))).otherwise(col)
+        out = out.withColumn(f_name, col)
+    return out
+
+
 def parse_json_props(df: DataFrame, json_col: str, fields: dict[str, str]) -> DataFrame:
     """JSON side-payload parse (oj_serializer.rb inverse; S9):
     ``from_json``-style extraction of typed fields from a JSON-string

@@ -582,6 +582,58 @@ SELECT q_id, label AS pred_label, n AS votes FROM counts
 QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY n DESC, label) = 1"""
 
 
+def q_grok_dictionary(spark, sf_dir):
+    """Pattern-dictionary parse: first matching named pattern wins;
+    the corrupted-payload lines (unparseable by the main grok) match
+    the second pattern instead of being lost."""
+    from ..operators.parse import parse_text_multi
+
+    p = parse_text_multi(_t(spark, sf_dir))
+    return p.groupBy("pattern").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count("corrupted_kind").alias("n_kind"),
+    )
+
+
+O_GROK_DICT = (
+    ORACLE_PREFIX
+    + rf"""
+SELECT CASE
+    WHEN text IS NOT NULL AND regexp_matches(text, {SQL_GROK}) THEN 'req_line'
+    WHEN text IS NOT NULL AND regexp_matches(text, '^corrupted (\w+) payload ##') THEN 'corrupted'
+    ELSE NULL END AS pattern,
+  count(*) AS n,
+  count(CASE WHEN text IS NOT NULL AND NOT regexp_matches(text, {SQL_GROK})
+              AND regexp_matches(text, '^corrupted (\w+) payload ##')
+             THEN regexp_extract(text, '^corrupted (\w+) payload ##', 1) END) AS n_kind
+FROM transcripts GROUP BY 1"""
+)
+
+
+def q_duration_percentiles(spark, sf_dir):
+    """Exact per-level latency percentiles over parsed durations
+    (linear interpolation — identical in Spark percentile() and DuckDB
+    quantile_cont)."""
+    p = parse_text(_t(spark, sf_dir)).filter("parse_ok")
+    return p.groupBy("level").agg(
+        F.expr("round(percentile(duration_ms, 0.5), 3)").alias("p50"),
+        F.expr("round(percentile(duration_ms, 0.95), 3)").alias("p95"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+O_DURATION_PCT = (
+    ORACLE_PREFIX
+    + f"""
+SELECT regexp_extract(text, {SQL_GROK}, 1) AS level,
+  round(quantile_cont(CAST(regexp_extract(text, {SQL_GROK}, 3) AS BIGINT), 0.5), 3) AS p50,
+  round(quantile_cont(CAST(regexp_extract(text, {SQL_GROK}, 3) AS BIGINT), 0.95), 3) AS p95,
+  count(*) AS n
+FROM transcripts WHERE {SQL_PARSED}
+GROUP BY 1"""
+)
+
+
 def q_quality_filter(spark, sf_dir):
     """Corpus quality gate: keep documents passing length/diversity/
     stopword thresholds (the consumer of text_stats — what a training-
@@ -806,6 +858,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_neardup": q_embedding_neardup,
     "turn_text_ordered": q_turn_text_ordered,
     "quality_filter": q_quality_filter,
+    "grok_dictionary": q_grok_dictionary,
+    "duration_percentiles": q_duration_percentiles,
     # rows-only checks (engine-specific hashing / pandas-UDF stages)
     "simhash_neardup": q_simhash_neardup,
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
@@ -850,4 +904,6 @@ ORACLES: dict[str, str] = {
     "embedding_neardup": O_EMBEDDING_NEARDUP,
     "turn_text_ordered": O_TURN_TEXT,
     "quality_filter": O_QUALITY_FILTER,
+    "grok_dictionary": O_GROK_DICT,
+    "duration_percentiles": O_DURATION_PCT,
 }

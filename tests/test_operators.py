@@ -174,3 +174,25 @@ def test_embedding_neardup_planted(spark):
     # LSH path: identical-direction vectors always share the bucket
     lsh = {(r["vec_a"], r["vec_b"]) for r in DS.embedding_neardup_pairs(allv, 0.99).collect()}
     assert lsh == exact
+
+
+def test_grok_pattern_dictionary(spark):
+    """First matching named pattern wins; fields from non-winning
+    patterns stay NULL; unmatched rows get NULL pattern."""
+    from fluent_plugin_opensearch_spark.operators.parse import parse_text_multi
+
+    df = spark.createDataFrame(
+        [
+            ("[INFO] req=123 took=45ms hello world",),
+            ("corrupted click payload ##",),
+            ("garbage line",),
+            (None,),
+        ],
+        "text string",
+    )
+    rows = parse_text_multi(df).collect()
+    assert rows[0]["pattern"] == "req_line" and rows[0]["level"] == "INFO"
+    assert rows[0]["req_id"] == "123" and rows[0]["corrupted_kind"] is None
+    assert rows[1]["pattern"] == "corrupted" and rows[1]["corrupted_kind"] == "click"
+    assert rows[1]["level"] is None
+    assert rows[2]["pattern"] is None and rows[3]["pattern"] is None
