@@ -153,9 +153,13 @@ untimed passes), best of 3 steady-state passes;
         "Produced by tools/scaling_bench.py (two-parallelism evidence "
         "protocol from BASELINE.md; sandbox has no real cluster).\n"
     )
+    # keep ONE measured section: replace everything after the header
     existing = open(path).read() if os.path.exists(path) else header
+    cut = existing.find("\n## Measured scaling")
+    base = existing[:cut] if cut != -1 else existing
+    context = existing[existing.find("\n## Context") :] if "\n## Context" in existing else ""
     with open(path, "w") as f:
-        f.write(existing + md)
+        f.write(base + md + context)
     print(f"wrote {path}")
 
 
