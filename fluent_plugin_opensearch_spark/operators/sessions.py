@@ -91,6 +91,32 @@ def sessionize_blocked(df: DataFrame, gap_minutes: int = 30, block_size: int = 1
     )
 
 
+def hourly_rollup(df: DataFrame) -> DataFrame:
+    """Hour-grain pre-aggregate (the continuous-aggregate base table):
+    per (sink-day, hour) row counts + parse metrics. At scale this is
+    the materialized rollup a dashboard reads instead of raw turns."""
+    return df.groupBy(
+        F.date_format("ts", "yyyy-MM-dd").alias("day"),
+        F.hour("ts").alias("hour"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_turns"),
+        F.sum(F.when(F.col("text").isNull(), 1).otherwise(0)).alias("n_null"),
+        F.countDistinct("conv_id").alias("n_convs"),
+    )
+
+
+def daily_from_hourly(hourly: DataFrame) -> DataFrame:
+    """Day grain REAGGREGATED FROM the hourly rollup — the cascade that
+    makes rollups cheap (never re-reads raw data). Distinct-conv counts
+    don't re-aggregate exactly (max is a lower bound documented here);
+    additive metrics roll up exactly."""
+    return hourly.groupBy("day").agg(
+        F.sum("n_turns").alias("n_turns"),
+        F.sum("n_null").alias("n_null"),
+        F.max("n_convs").alias("min_distinct_convs"),
+    )
+
+
 def top_k_per_day(df: DataFrame, k: int = 3) -> DataFrame:
     """Heavy hitters: the k most active conversations per UTC day
     (rank by turn count, deterministic tie-break by conv_id). One

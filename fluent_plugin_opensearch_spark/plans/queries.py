@@ -582,6 +582,31 @@ SELECT q_id, label AS pred_label, n AS votes FROM counts
 QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY n DESC, label) = 1"""
 
 
+def q_rollup_cascade(spark, sf_dir):
+    """Hourly → daily rollup cascade: daily metrics re-aggregated from
+    the hourly pre-aggregate (never from raw rows); additive metrics
+    must equal a direct daily aggregation."""
+    from ..operators.sessions import daily_from_hourly, hourly_rollup
+
+    return daily_from_hourly(hourly_rollup(_t(spark, sf_dir)))
+
+
+O_ROLLUP = (
+    ORACLE_PREFIX
+    + """
+, hourly AS (
+  SELECT strftime(ts, '%Y-%m-%d') AS day, hour(ts) AS hour,
+         count(*) AS n_turns,
+         sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS n_null,
+         count(DISTINCT conv_id) AS n_convs
+  FROM transcripts GROUP BY 1, 2)
+SELECT day, CAST(sum(n_turns) AS BIGINT) AS n_turns,
+       CAST(sum(n_null) AS BIGINT) AS n_null,
+       CAST(max(n_convs) AS BIGINT) AS min_distinct_convs
+FROM hourly GROUP BY 1"""
+)
+
+
 def q_grok_dictionary(spark, sf_dir):
     """Pattern-dictionary parse: first matching named pattern wins;
     the corrupted-payload lines (unparseable by the main grok) match
@@ -860,6 +885,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "quality_filter": q_quality_filter,
     "grok_dictionary": q_grok_dictionary,
     "duration_percentiles": q_duration_percentiles,
+    "rollup_cascade": q_rollup_cascade,
     # rows-only checks (engine-specific hashing / pandas-UDF stages)
     "simhash_neardup": q_simhash_neardup,
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
@@ -906,4 +932,5 @@ ORACLES: dict[str, str] = {
     "quality_filter": O_QUALITY_FILTER,
     "grok_dictionary": O_GROK_DICT,
     "duration_percentiles": O_DURATION_PCT,
+    "rollup_cascade": O_ROLLUP,
 }
