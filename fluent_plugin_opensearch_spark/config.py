@@ -42,7 +42,8 @@ class PipelineConfig:
     time_key: str | None = None            # :111
     time_key_format: str | None = None     # :110 (strftime)
     time_precision: int = 6                # :107 default 9 (ns); Spark is µs
-    include_timestamp: bool = False        # :103 (data-stream style @timestamp)
+    include_timestamp: bool = False        # :103 forces @timestamp injection without logstash_format
+    time_key_exclude_timestamp: bool = False  # :126 (skip writing @timestamp from time_key)
     time_parse_error_tag: str = "opensearch_plugin.output.time.error"  # :151
 
     # --- record shaping ---

@@ -47,20 +47,43 @@ def parse_time_col(col: Column, time_key_format: str | None) -> Column:
 def inject_timestamp(df: DataFrame, cfg: PipelineConfig, event_time_col: str = "ts") -> DataFrame:
     """P3+P5: add ``@timestamp`` (ISO8601, µs) and ``time_parse_error``.
 
-    Precedence per out_opensearch.rb:972-985; the reference formats at
-    ``time_precision`` digits (default ns) — Spark is µs, so precision
-    is capped at 6 (documented divergence, SURVEY.md §7 hard part 2).
+    Precedence per out_opensearch.rb:972-985 — the record's own
+    ``@timestamp`` field is parsed FIRST and drives the routing day
+    (``_event_ts``), then ``time_key``, then event time; a parse failure
+    on either falls back to event time and raises the error flag
+    (parse_time rescue, out_opensearch.rb:608-615). The emitted record
+    keeps an existing ``@timestamp`` string verbatim; a ``time_key``
+    derived timestamp is written unless ``time_key_exclude_timestamp``
+    (out_opensearch.rb:980). Injection only happens when
+    ``logstash_format`` or ``include_timestamp`` (out_opensearch.rb:973)
+    — ``_event_ts``/``time_parse_error`` are always computed (routing
+    and DLQ fan-out need them regardless).
+
+    The reference formats at ``time_precision`` digits (default ns) —
+    Spark is µs, so precision is capped at 6 (documented divergence,
+    SURVEY.md §7 hard part 2).
+
+    A NULL value in the ``@timestamp``/``time_key`` column is the
+    columnar analog of "key absent" and falls through to the next
+    precedence level without an error (round-1 semantics; the reference
+    branches on has_key?, which a columnar schema cannot distinguish).
     """
     event_ts = F.col(event_time_col)
-    existing = F.col(TIMESTAMP_KEY) if TIMESTAMP_KEY in df.columns else F.lit(None).cast("string")
+    has_ts_field = TIMESTAMP_KEY in df.columns
+    tk = F.col(cfg.time_key) if cfg.time_key and cfg.time_key in df.columns else None
 
-    if cfg.time_key and cfg.time_key in df.columns:
-        parsed = parse_time_col(F.col(cfg.time_key), cfg.time_key_format)
-        parse_error = F.col(cfg.time_key).isNotNull() & parsed.isNull()
-        best_ts = F.coalesce(parsed, event_ts)
-    else:
-        parse_error = F.lit(False)
-        best_ts = event_ts
+    best_ts = event_ts
+    parse_error = F.lit(False)
+    parsed_tk = None
+    if tk is not None:
+        parsed_tk = parse_time_col(tk, cfg.time_key_format)
+        best_ts = F.when(tk.isNotNull(), F.coalesce(parsed_tk, event_ts)).otherwise(best_ts)
+        parse_error = F.when(tk.isNotNull(), parsed_tk.isNull()).otherwise(parse_error)
+    if has_ts_field:
+        existing = F.col(TIMESTAMP_KEY)
+        parsed_existing = parse_time_col(existing, cfg.time_key_format)
+        best_ts = F.when(existing.isNotNull(), F.coalesce(parsed_existing, event_ts)).otherwise(best_ts)
+        parse_error = F.when(existing.isNotNull(), parsed_existing.isNull()).otherwise(parse_error)
 
     # time_precision: reference emits `time_precision` sub-second
     # digits (default 9 = ns, out_opensearch.rb:107,980-983); Spark
@@ -69,8 +92,14 @@ def inject_timestamp(df: DataFrame, cfg: PipelineConfig, event_time_col: str = "
     precision = min(cfg.time_precision, 6)
     fmt = ISO8601_US.replace("SSSSSS", "S" * precision) if precision > 0 else ISO8601_US.replace(".SSSSSS", "")
     iso = F.date_format(best_ts, fmt)
-    return (
-        df.withColumn(TIMESTAMP_KEY, F.coalesce(existing, iso))
-        .withColumn("_event_ts", best_ts)
-        .withColumn("time_parse_error", parse_error)
-    )
+
+    out = df
+    if cfg.logstash_format or cfg.include_timestamp:
+        emitted = iso
+        if tk is not None and cfg.time_key_exclude_timestamp:
+            # time_key-sourced rows keep @timestamp unset (:980)
+            emitted = F.when(tk.isNotNull(), F.lit(None).cast("string")).otherwise(iso)
+        if has_ts_field:
+            emitted = F.coalesce(F.col(TIMESTAMP_KEY), emitted)
+        out = out.withColumn(TIMESTAMP_KEY, emitted)
+    return out.withColumn("_event_ts", best_ts).withColumn("time_parse_error", parse_error)

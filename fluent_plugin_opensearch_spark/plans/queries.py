@@ -102,8 +102,10 @@ FROM transcripts"""
 
 def q_time_key_parse(spark, sf_dir):
     """P4+P5: strptime fast path / ISO fallback / numeric epoch /
-    parse-error fallback to event time, per time_key precedence."""
-    cfg = PipelineConfig(time_key="time_str")
+    parse-error fallback to event time, per time_key precedence.
+    ``include_timestamp=True`` forces @timestamp injection without
+    logstash_format (out_opensearch.rb:973) — the knob's wiring test."""
+    cfg = PipelineConfig(time_key="time_str", include_timestamp=True)
     t = _t(spark, sf_dir).withColumn(
         "time_str",
         F.expr(
@@ -144,6 +146,57 @@ SELECT conv_id, turn_idx,
   strftime(coalesce(p, ts), '%Y-%m-%dT%H:%M:%S.%f') || 'Z' AS ts_iso,
   (time_str IS NOT NULL AND p IS NULL) AS parse_err
 FROM parsed"""
+)
+
+
+def q_timestamp_precedence(spark, sf_dir):
+    """P3 precedence (out_opensearch.rb:972-985): a record's own
+    @timestamp field wins over time_key and event time for BOTH the
+    emitted @timestamp (kept verbatim) and the logstash routing day —
+    the two must agree (ADVICE r1)."""
+    cfg = PipelineConfig(logstash_format=True, logstash_prefix="logs", time_key="time_str")
+    t = (
+        _t(spark, sf_dir)
+        .withColumn(
+            "@timestamp",
+            F.when(
+                F.col("turn_idx") % 3 == 0,
+                F.date_format(F.expr("ts + INTERVAL 2 DAYS"), "yyyy-MM-dd'T'HH:mm:ss"),
+            ),
+        )
+        .withColumn(
+            "time_str",
+            F.when(
+                F.col("turn_idx") % 3 == 1,
+                F.date_format(F.expr("ts + INTERVAL 5 DAYS"), "yyyy-MM-dd'T'HH:mm:ss"),
+            ),
+        )
+    )
+    out = route(inject_timestamp(t, cfg), cfg)
+    return out.select(
+        "conv_id", "turn_idx", F.col("@timestamp").alias("ts_out"), "_index"
+    )
+
+
+O_TIMESTAMP_PRECEDENCE = (
+    ORACLE_PREFIX
+    + """
+, staged AS (
+  SELECT conv_id, turn_idx, ts,
+    CASE WHEN turn_idx % 3 = 0
+         THEN strftime(ts + INTERVAL 2 DAY, '%Y-%m-%dT%H:%M:%S') END AS at_field,
+    CASE WHEN turn_idx % 3 = 1
+         THEN strftime(ts + INTERVAL 5 DAY, '%Y-%m-%dT%H:%M:%S') END AS time_str
+  FROM transcripts),
+resolved AS (
+  SELECT conv_id, turn_idx, at_field, time_str,
+    coalesce(CAST(at_field AS TIMESTAMP), CAST(time_str AS TIMESTAMP), ts) AS best
+  FROM staged)
+SELECT conv_id, turn_idx,
+  CASE WHEN at_field IS NOT NULL THEN at_field
+       ELSE strftime(best, '%Y-%m-%dT%H:%M:%S.%f') || 'Z' END AS ts_out,
+  lower(concat('logs-', strftime(best, '%Y.%m.%d'))) AS _index
+FROM resolved"""
 )
 
 
@@ -853,6 +906,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "route_target_index_override": q_route_target_index_override,
     "timestamp_iso": q_timestamp_iso,
     "time_key_parse": q_time_key_parse,
+    "timestamp_precedence": q_timestamp_precedence,
     "parse_extract": q_parse_extract,
     "dlq_reason_stats": q_dlq_reason_stats,
     "enrich_role_counts": q_enrich_role_counts,
@@ -900,6 +954,7 @@ ORACLES: dict[str, str] = {
     "route_target_index_override": O_ROUTE_OVERRIDE,
     "timestamp_iso": O_TIMESTAMP_ISO,
     "time_key_parse": O_TIME_KEY_PARSE,
+    "timestamp_precedence": O_TIMESTAMP_PRECEDENCE,
     "parse_extract": O_PARSE_EXTRACT,
     "dlq_reason_stats": O_DLQ_REASONS,
     "enrich_role_counts": O_ENRICH_ROLES,

@@ -38,6 +38,42 @@ def test_logstash_index_utc_boundary(spark):
     assert out.collect()[0]["_index"] == "logstash-2024.03.05"
 
 
+def test_timestamp_field_precedence_drives_routing(spark):
+    """P3 precedence (out_opensearch.rb:972-985): a record's own
+    @timestamp is parsed first and the logstash index day follows it,
+    so the emitted field and the routing day agree (ADVICE r1)."""
+    cfg = PipelineConfig(logstash_format=True, logstash_prefix="logs", time_key="tk")
+    df = spark.createDataFrame(
+        [
+            ("2024-03-09T08:00:00", "2024-03-07T08:00:00", "2024-03-05 10:00:00"),
+            (None, "2024-03-07T08:00:00", "2024-03-05 10:00:00"),
+            (None, None, "2024-03-05 10:00:00"),
+        ],
+        "`@timestamp` string, tk string, s string",
+    ).withColumn("ts", F.to_timestamp("s"))
+    rows = route(inject_timestamp(df, cfg), cfg).collect()
+    assert rows[0]["_index"] == "logs-2024.03.09" and rows[0]["@timestamp"] == "2024-03-09T08:00:00"
+    assert rows[1]["_index"] == "logs-2024.03.07" and rows[1]["@timestamp"].startswith("2024-03-07T08:00:00")
+    assert rows[2]["_index"] == "logs-2024.03.05" and rows[2]["@timestamp"].startswith("2024-03-05T10:00:00")
+
+
+def test_include_timestamp_and_exclude_knobs(spark):
+    """include_timestamp forces injection without logstash_format
+    (out_opensearch.rb:973); time_key_exclude_timestamp suppresses the
+    time_key-derived @timestamp (:980)."""
+    df = spark.createDataFrame(
+        [("2024-03-07T08:00:00", "2024-03-05 10:00:00")], "tk string, s string"
+    ).withColumn("ts", F.to_timestamp("s"))
+    plain = inject_timestamp(df, PipelineConfig(time_key="tk"))
+    assert "@timestamp" not in plain.columns  # no logstash, no include_timestamp
+    forced = inject_timestamp(df, PipelineConfig(time_key="tk", include_timestamp=True))
+    assert forced.collect()[0]["@timestamp"].startswith("2024-03-07T08:00:00")
+    excl = inject_timestamp(
+        df, PipelineConfig(time_key="tk", include_timestamp=True, time_key_exclude_timestamp=True)
+    )
+    assert excl.collect()[0]["@timestamp"] is None
+
+
 def test_index_name_lowercased(spark):
     """out_opensearch.rb:998-1001 / test :2032-2042."""
     cfg = PipelineConfig(target_index_key="target_index")
