@@ -96,22 +96,47 @@ def alias_col(cfg: PipelineConfig, app_name: str, ts_col: str = "_event_ts") -> 
     )
 
 
+def affinity_enabled(cfg: PipelineConfig) -> bool:
+    """R5 gate — target_index_affinity_enabled?
+    (out_opensearch.rb:917-919): affinity only fires for logstash
+    routing with an id_key under update/upsert write operations."""
+    return (
+        cfg.target_index_affinity
+        and cfg.logstash_format
+        and bool(cfg.id_key)
+        and cfg.write_operation in ("update", "upsert")
+    )
+
+
 def affinity_override(
     df: DataFrame, existing_ids: DataFrame, id_col: str = "_id"
 ) -> DataFrame:
     """R5: target-index affinity for update/upsert + logstash
     (out_opensearch.rb:917-951,1006-1013; tests :2173-2275).
 
-    The reference queries the cluster for each chunk's ``_id`` set,
-    sorts hits by ``_index desc`` and keeps the OLDEST index per id so
-    updates land where the doc already lives. Spark-first shape: a
-    broadcast left join against ``min(_index) per _id`` over the
-    existing sink state (A5), then coalesce onto the computed index.
+    The reference queries the cluster for THE CHUNK'S ``_id`` set only
+    (get_affinity_target_indices builds the id set from the chunk,
+    out_opensearch.rb:925-930), sorts hits by ``_index desc`` and keeps
+    the OLDEST index per id so updates land where the doc already
+    lives. Spark-first shape, bounded the same way (A4→A5→J1):
+
+      1. semi-join the existing sink state on the batch's distinct ids
+         — the build side is O(batch ids), never O(sink table), so a
+         billion-doc sink cannot OOM the broadcast;
+      2. ``min(_index) per _id`` over the surviving rows (A5);
+      3. left join + coalesce onto the computed index. No broadcast is
+         forced: AQE sizes the aggregated side at runtime and converts
+         to broadcast-hash when it fits ``autoBroadcastJoinThreshold``,
+         falling back to a shuffle join for pathological batches whose
+         id set is itself huge.
+
     ``existing_ids`` must have columns (_id, _index).
     """
-    oldest = existing_ids.groupBy(id_col).agg(F.min(INDEX_KEY).alias("_affinity_index"))
+    batch_ids = df.select(F.col(id_col)).where(F.col(id_col).isNotNull()).distinct()
+    relevant = existing_ids.join(batch_ids, on=id_col, how="left_semi")
+    oldest = relevant.groupBy(id_col).agg(F.min(INDEX_KEY).alias("_affinity_index"))
     return (
-        df.join(F.broadcast(oldest), on=id_col, how="left")
+        df.join(oldest, on=id_col, how="left")
         .withColumn(INDEX_KEY, F.coalesce(F.col("_affinity_index"), F.col(INDEX_KEY)))
         .drop("_affinity_index")
     )

@@ -29,7 +29,8 @@ from ..constants import INDEX_KEY
 from ..operators.enrich import enrich
 from ..operators.genid import add_hash_id
 from ..operators.parse import parse_text
-from ..operators.routing import per_sink_counts, route
+from ..constants import ID_KEY
+from ..operators.routing import affinity_enabled, affinity_override, per_sink_counts, route
 from ..operators.timestamps import inject_timestamp
 from ..operators.transforms import (
     drop_non_records,
@@ -89,6 +90,36 @@ def split_streams(df: DataFrame, cfg: PipelineConfig) -> tuple[DataFrame, DataFr
     return good, bad
 
 
+def apply_affinity(
+    good: DataFrame, cfg: PipelineConfig, existing: DataFrame | None
+) -> DataFrame:
+    """R5 wiring: route updates/upserts to the index where the doc
+    already lives, exactly when the reference would
+    (target_index_affinity_enabled?, out_opensearch.rb:917-919 — the
+    gate lives in ``affinity_enabled``). ``existing`` is the sink's
+    (_id, _index) state; None (no sink yet) is a no-op, like the
+    reference's empty search result."""
+    if existing is not None and affinity_enabled(cfg):
+        return affinity_override(good, existing)
+    return good
+
+
+def sink_id_state(spark: SparkSession, catalog: SinkCatalog, cfg: PipelineConfig) -> DataFrame | None:
+    """The (_id, _index) lookup frame affinity queries — scoped to the
+    logstash index family like the reference's ``logstash_prefix-*``
+    search pattern (out_opensearch.rb:934-936). ``_index`` is the
+    partition column, so the prefix filter prunes partitions at the
+    scan."""
+    if not catalog.exists("sink"):
+        return None
+    prefix = cfg.logstash_prefix + cfg.logstash_prefix_separator
+    return (
+        catalog.read(spark, "sink")
+        .select(ID_KEY, INDEX_KEY)
+        .where(F.col(ID_KEY).isNotNull() & F.col(INDEX_KEY).startswith(prefix))
+    )
+
+
 class CheckpointManifest:
     """Batch-mode checkpoint/resume (SURVEY.md §4 item 4; north_rule
     "resumable from checkpoint with per-partition lineage"): a JSON
@@ -135,6 +166,7 @@ def run_batch(
 
     built = build(transcripts, cfg, spark)
     good, dlq = split_streams(built, cfg)
+    good = apply_affinity(good, cfg, sink_id_state(spark, catalog, cfg))
     good = inject_chunk_id(good)
 
     # one pass over the input feeds both sides; cache the narrow built

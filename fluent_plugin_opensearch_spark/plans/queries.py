@@ -369,6 +369,46 @@ FROM batch b LEFT JOIN oldest o USING (_id) GROUP BY 1"""
 )
 
 
+def q_affinity_e2e(spark, sf_dir):
+    """R5 end-to-end, driven purely by config: the SAME gate + override
+    helper run_batch uses (apply_affinity / affinity_enabled) routes
+    updates for known docs back to the index where each doc lives."""
+    from .pipeline import apply_affinity
+    from ..operators.routing import affinity_enabled
+
+    cfg = PipelineConfig(
+        logstash_format=True,
+        logstash_prefix="logs",
+        target_index_affinity=True,
+        id_key="conv_id",
+        write_operation="update",
+    )
+    assert affinity_enabled(cfg)
+    good, _ = split_streams(build(_t(spark, sf_dir), cfg, spark), cfg)
+    existing = (
+        _t(spark, sf_dir)
+        .filter((F.col("turn_idx") == 0) & (F.substring("conv_id", 5, 8).cast("int") % 2 == 0))
+        .select(F.col("conv_id").alias("_id"), F.lit("logs-2023.12.31").alias("_index"))
+    )
+    out = apply_affinity(good, cfg, existing)
+    return out.groupBy("_index").agg(F.count(F.lit(1)).alias("routed_rows"))
+
+
+O_AFFINITY_E2E = (
+    ORACLE_PREFIX
+    + f"""
+, existing AS (
+  SELECT DISTINCT conv_id AS _id FROM transcripts
+  WHERE turn_idx = 0 AND CAST(substr(conv_id, 5, 8) AS INT) % 2 = 0),
+batch AS (
+  SELECT conv_id AS _id, {SQL_LOGSTASH_INDEX} AS computed
+  FROM transcripts WHERE {SQL_PARSED})
+SELECT CASE WHEN e._id IS NOT NULL THEN 'logs-2023.12.31' ELSE b.computed END AS _index,
+       count(*) AS routed_rows
+FROM batch b LEFT JOIN existing e USING (_id) GROUP BY 1"""
+)
+
+
 def q_retry_union(spark, sf_dir):
     """O3/R8: retry-stream union under retry_tag."""
     t = _t(spark, sf_dir)
@@ -915,6 +955,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "genid_sha256": _genid_q("sha256"),
     "error_taxonomy": q_error_taxonomy,
     "affinity_routing": q_affinity_routing,
+    "affinity_e2e": q_affinity_e2e,
     "retry_union": q_retry_union,
     "per_conv_stats": q_per_conv_stats,
     "conv_gaps": q_conv_gaps,
@@ -963,6 +1004,7 @@ ORACLES: dict[str, str] = {
     "genid_sha256": _genid_oracle("sha256"),
     "error_taxonomy": O_ERROR_TAXONOMY,
     "affinity_routing": O_AFFINITY,
+    "affinity_e2e": O_AFFINITY_E2E,
     "retry_union": O_RETRY_UNION,
     "per_conv_stats": O_PER_CONV,
     "conv_gaps": O_CONV_GAPS,

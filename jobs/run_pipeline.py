@@ -34,6 +34,11 @@ def parse_args(argv: list[str]) -> argparse.Namespace:
     p.add_argument("--target-index-key", default=None)
     p.add_argument("--id-key", default=None)
     p.add_argument("--write-operation", default="index")
+    p.add_argument(
+        "--target-index-affinity",
+        action="store_true",
+        help="route update/upsert to the index where the doc already lives (R5)",
+    )
     p.add_argument("--retry-tag", default=None)
     p.add_argument("--salt-buckets", type=int, default=0)
     p.add_argument("--sink-partitions", type=int, default=0)
@@ -63,6 +68,7 @@ def main(argv: list[str]) -> None:
         target_index_key=args.target_index_key,
         id_key=args.id_key,
         write_operation=args.write_operation,
+        target_index_affinity=args.target_index_affinity,
         retry_tag=args.retry_tag,
         salt_buckets=args.salt_buckets,
         sink_partitions=args.sink_partitions,

@@ -61,6 +61,43 @@ def test_per_sink_counts_match_duckdb(spark):
     assert sum(got.values()) > 0
 
 
+def test_affinity_config_wiring_e2e(spark, tmp_path):
+    """R5 wiring: cfg.target_index_affinity alone (with update op +
+    id_key + logstash) makes run_batch pull updates back to the index
+    day where each doc already lives (out_opensearch.rb:871,1006-1013;
+    tests :2173-2275). A 60-day-shifted replay of the same convs must
+    produce NO new index days."""
+    cat = SinkCatalog(str(tmp_path / "wh"))
+    t = load_transcripts(spark, SF_SMOKE)
+    seed_cfg = PipelineConfig(logstash_format=True, logstash_prefix="logs", id_key="conv_id")
+    m1 = run_batch(spark, t, seed_cfg, cat, batch_id="seed")
+    days1 = {c["_index"] for c in m1["per_sink"]}
+    assert days1 and all(d.startswith("logs-2024.01") for d in days1)
+
+    shifted = t.withColumn("ts", F.col("ts") + F.expr("INTERVAL 60 DAYS"))
+    upd_cfg = PipelineConfig(
+        logstash_format=True,
+        logstash_prefix="logs",
+        id_key="conv_id",
+        target_index_affinity=True,
+        write_operation="update",
+    )
+    m2 = run_batch(spark, shifted, upd_cfg, cat, batch_id="upd")
+    days2 = {c["_index"] for c in m2["per_sink"]}
+    assert days2 <= days1, f"affinity failed to pull back: {sorted(days2 - days1)}"
+
+    # negative control: same cfg minus the flag is gated off
+    from fluent_plugin_opensearch_spark.operators.routing import affinity_enabled
+
+    assert not affinity_enabled(
+        PipelineConfig(logstash_format=True, id_key="conv_id", write_operation="update")
+    )
+    # and the gate requires update/upsert (index op never reroutes)
+    assert not affinity_enabled(
+        PipelineConfig(logstash_format=True, id_key="conv_id", target_index_affinity=True)
+    )
+
+
 def test_run_batch_and_resume(spark, tmp_path):
     cat = SinkCatalog(str(tmp_path / "warehouse"))
     manifest = CheckpointManifest(str(tmp_path / "manifest.json"))

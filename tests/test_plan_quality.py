@@ -69,7 +69,27 @@ def test_pipeline_has_no_python_udf_and_single_shuffle(spark):
     # codegen coverage is asserted on the non-AQE parse plan below)
 
 
-def test_parse_is_codegen_compiled(spark):
+def test_affinity_build_side_is_batch_bounded(spark):
+    """R5 scale guard: the affinity lookup must semi-join the existing
+    sink state on the batch's distinct ids BEFORE the min(_index)
+    aggregation, so the (broadcastable) build side is O(batch ids) and
+    never O(sink table) — and at runtime AQE turns the bounded side
+    into a broadcast join."""
+    from fluent_plugin_opensearch_spark.operators.routing import affinity_override
+
+    existing = spark.range(200_000).selectExpr(
+        "cast(id AS string) AS _id", "'logs-2020.01.01' AS _index"
+    )
+    batch = spark.range(100).selectExpr(
+        "cast(id AS string) AS _id", "'logs-2024.01.01' AS _index"
+    )
+    out = affinity_override(batch, existing)
+    plan = _plan(out)
+    # the semi-join feeds the aggregate (build side bounded by batch)
+    assert "LeftSemi" in plan, plan
+    out.collect()  # executes; AQE finalizes the join strategy
+    final = _plan(out)
+    assert "BroadcastHashJoin" in final, final
     from fluent_plugin_opensearch_spark.operators.parse import parse_text
 
     df = spark.createDataFrame([("x",)], "text string")
