@@ -6,12 +6,14 @@ request per group (out_opensearch.rb:856-915,1097-1141). Spark-first
 shape: ONE write with ``partitionBy("_index")`` — the shuffle on the
 routing key is the grouping, every sink directory is a "bulk batch",
 and file sizing replaces byte-threshold request splitting (R7 →
-``write.target-file-size-bytes`` / AQE coalescing).
+``target_file_size_bytes`` → ``maxRecordsPerFile``).
 
 On a production cluster the sink is an Iceberg table per index family
 (``CREATE TABLE ... USING iceberg PARTITIONED BY (days(ts))``) and the
 write ops map to MERGE INTO (W1). This sandbox has no Iceberg runtime
-jar, so the catalog is parquet-directory-backed and the merge variants
+jar, so ``SinkCatalog`` implements the same COMMIT MODEL on plain
+parquet: immutable version directories + an atomically-flipped
+manifest (an Iceberg snapshot in miniature), and the merge variants
 are expressed as equivalent DataFrame joins — the semantics (and
 tests) carry over to MERGE unchanged:
 
@@ -25,6 +27,7 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 import time
 from dataclasses import dataclass
 
@@ -34,13 +37,35 @@ from pyspark.sql import functions as F
 from ..config import PipelineConfig
 from ..constants import ID_KEY, INDEX_KEY, OP_CREATE, OP_INDEX, OP_UPDATE, OP_UPSERT
 
+_MANIFEST = "_manifest.json"
+
 
 @dataclass
 class SinkCatalog:
-    """Directory-backed stand-in for an Iceberg catalog.
+    """Iceberg-shaped parquet catalog: immutable version dirs + an
+    atomic manifest pointer.
 
-    Layout: ``<base>/<table>/`` parquet, data tables partitioned by
-    ``_index`` (partition value = dynamic index name, SURVEY.md §1.2).
+    Layout::
+
+        <base>/<table>/_manifest.json   {"current_version": n,
+                                         "partitions": {idx: [v_...]}}
+        <base>/<table>/v_000001/_index=<idx>/part-*.parquet
+
+    Commit protocol (the crash-safety contract):
+      1. a writer stages a NEW immutable version dir (never mutates
+         existing data files);
+      2. the manifest — which maps each live ``_index`` partition to
+         the version dirs holding its current rows — is rewritten to a
+         temp file and flipped with one atomic ``os.replace``.
+    A crash BEFORE the flip leaves an orphan version dir and a fully
+    valid previous table; a crash AFTER it is a completed commit.
+    There is never a moment where committed data is unreachable.
+    ``vacuum`` garbage-collects unreferenced version dirs afterwards.
+
+    Single-writer (one driver per table), like a fluentd output's
+    buffer dir. On a real cluster this class is replaced by an Iceberg
+    catalog (MERGE INTO + snapshot isolation); interfaces are shaped
+    so that swap is mechanical.
     """
 
     base_dir: str
@@ -55,15 +80,95 @@ class SinkCatalog:
         os.makedirs(p, exist_ok=True)
         return p
 
+    # --- manifest ---------------------------------------------------------
+
+    def _manifest_path(self, table: str) -> str:
+        return os.path.join(self.path(table), _MANIFEST)
+
+    def manifest(self, table: str) -> dict:
+        p = self._manifest_path(table)
+        if os.path.exists(p):
+            with open(p) as f:
+                return json.load(f)
+        return {"current_version": 0, "partitions": {}}
+
     def exists(self, table: str) -> bool:
-        p = self.path(table)
-        return os.path.isdir(p) and any(
-            f.endswith(".parquet") or f.startswith(INDEX_KEY + "=") or f.startswith("_index=")
-            for f in os.listdir(p)
-        )
+        return bool(self.manifest(table)["partitions"])
+
+    def stage(self, table: str) -> tuple[int, str]:
+        """Reserve the next version number + its (not yet live) dir."""
+        v = self.manifest(table)["current_version"] + 1
+        return v, os.path.join(self.path(table), f"v_{v:06d}")
+
+    def commit(
+        self,
+        table: str,
+        version: int,
+        touched: list[str],
+        replace: bool,
+        removed: tuple[str, ...] = (),
+    ) -> None:
+        """Flip the manifest: ``replace=False`` appends the new version
+        to each touched partition's dir list; ``replace=True`` makes it
+        the partition's ONLY version (a merge rewrite); ``removed``
+        partitions are dropped entirely (every doc moved away). One
+        atomic ``os.replace`` — the whole commit."""
+        m = self.manifest(table)
+        vname = f"v_{version:06d}"
+        for part in touched:
+            if replace:
+                m["partitions"][part] = [vname]
+            else:
+                m["partitions"][part] = m["partitions"].get(part, []) + [vname]
+        for part in removed:
+            m["partitions"].pop(part, None)
+        m["current_version"] = version
+        self.ensure(table)
+        tmp = self._manifest_path(table) + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(m, f, indent=0, sort_keys=True)
+        os.replace(tmp, self._manifest_path(table))
 
     def read(self, spark: SparkSession, table: str) -> DataFrame:
-        return spark.read.option("basePath", self.path(table)).parquet(self.path(table))
+        """Read the table's CURRENT snapshot: per live version dir, the
+        partitions the manifest assigns to it (orphan/stale dirs are
+        invisible). Merge rewrites collapse a partition back to one
+        version, so the union stays shallow."""
+        m = self.manifest(table)
+        by_version: dict[str, list[str]] = {}
+        for part, versions in m["partitions"].items():
+            for v in versions:
+                by_version.setdefault(v, []).append(part)
+        if not by_version:
+            raise FileNotFoundError(f"sink table {table!r} has no committed data")
+        out = None
+        for v, parts in sorted(by_version.items()):
+            base = os.path.join(self.path(table), v)
+            paths = [os.path.join(base, f"{INDEX_KEY}={p}") for p in sorted(parts)]
+            df = spark.read.option("basePath", base).parquet(*paths)
+            out = df if out is None else out.unionByName(df, allowMissingColumns=True)
+        return out
+
+    def vacuum(self, table: str) -> list[str]:
+        """Delete version dirs no partition references (post-merge GC).
+        Safe at any time: the manifest is the source of truth."""
+        m = self.manifest(table)
+        live = {v for versions in m["partitions"].values() for v in versions}
+        removed = []
+        root = self.path(table)
+        if not os.path.isdir(root):
+            return removed
+        for d in sorted(os.listdir(root)):
+            if d.startswith("v_") and d not in live:
+                shutil.rmtree(os.path.join(root, d))
+                removed.append(d)
+        return removed
+
+
+def _staged_partitions(vdir: str) -> list[str]:
+    return sorted(
+        d.split("=", 1)[1] for d in os.listdir(vdir) if d.startswith(INDEX_KEY + "=")
+    )
 
 
 def append_to_sink(
@@ -72,10 +177,12 @@ def append_to_sink(
     table: str = "sink",
     sink_partitions: int = 0,
     writers_per_sink: int = 1,
+    target_file_size_bytes: int = 0,
 ) -> None:
     """S6/S7: the bulk append — ``partitionBy(_index)`` fans rows out
     to per-sink directories in one job (data-stream mode S7 is exactly
-    this, append-only).
+    this, append-only). The write stages an immutable version dir and
+    commits via the manifest flip (crash-safe, see SinkCatalog).
 
     Writer layout matters at scale (measured on 20M rows / 30 sinks):
       * no repartition: every map task writes every sink dir →
@@ -93,6 +200,11 @@ def append_to_sink(
       * AQE REBALANCE hint measured worst here (40.8 s) — advisory
         partition sizing splits sinks across tasks and loses dir
         locality.
+
+    ``target_file_size_bytes`` (R7, the Iceberg
+    ``write.target-file-size-bytes`` analog) bounds output file size
+    via ``maxRecordsPerFile`` using a schema-width row estimate — the
+    request-splitting knob re-expressed declaratively.
     """
     catalog.ensure(table)
     out = df
@@ -107,7 +219,30 @@ def append_to_sink(
             out = out.repartition(sink_partitions, F.col(INDEX_KEY), salt)
         else:
             out = out.repartition(sink_partitions, F.col(INDEX_KEY))
-    out.write.mode("append").partitionBy(INDEX_KEY).parquet(catalog.path(table))
+    writer = out.write.mode("overwrite").partitionBy(INDEX_KEY)
+    if target_file_size_bytes > 0:
+        writer = writer.option(
+            "maxRecordsPerFile",
+            max(1, target_file_size_bytes // _estimate_row_bytes(df)),
+        )
+    version, vdir = catalog.stage(table)
+    writer.parquet(vdir)
+    catalog.commit(table, version, _staged_partitions(vdir), replace=False)
+
+
+def _estimate_row_bytes(df: DataFrame) -> int:
+    """Cheap schema-width heuristic for the bytes→records translation
+    of ``target_file_size_bytes`` (documented approximation: fixed
+    widths for scalars, 64 B for strings/arrays/structs — good to the
+    2-4× a file-size target needs, with zero data scans)."""
+    from pyspark.sql import types as T
+
+    fixed = {T.LongType: 8, T.IntegerType: 4, T.DoubleType: 8, T.FloatType: 4,
+             T.BooleanType: 1, T.TimestampType: 8, T.TimestampNTZType: 8, T.DateType: 4}
+    total = 0
+    for f in df.schema.fields:
+        total += fixed.get(type(f.dataType), 64)
+    return max(total, 8)
 
 
 def _apply_doc_update(
@@ -161,58 +296,102 @@ def merge_write(
 
     At scale each branch is a single Iceberg ``MERGE INTO`` keyed on
     ``_id`` (snapshot isolation handles W3 commit conflicts); here the
-    equivalent join plans run against the parquet state. ``create``
-    duplicates are counted, not errors (W2,
+    equivalent join plans run against the catalog's current snapshot.
+    ``create`` duplicates are counted, not errors (W2,
     opensearch_error_handler.rb:125-126).
+
+    Scale + crash-safety design (replaces the r1 full-table rmtree
+    swap):
+      * only the ``_index`` partitions the batch TOUCHES are rewritten
+        — batch partitions plus any partition holding a matched ``_id``
+        (an id that moved index) — so a batch costs O(touched), not
+        O(table);
+      * the rewrite stages a new immutable version dir and commits via
+        the atomic manifest flip; untouched partitions keep pointing at
+        their existing version dirs. A crash at ANY step leaves the
+        previous snapshot fully readable;
+      * stats come from one persisted batch frame (a single scan), not
+        repeated ``.count()`` re-executions of the join plans.
     """
     op = cfg.write_operation
-    n_batch = batch.count()
-    if op != OP_INDEX:
-        batch = batch.filter(F.col(ID_KEY).isNotNull())
+    cached = [batch.persist()]
+    try:
+        n_batch = batch.count()
+        if op != OP_INDEX:
+            batch = batch.filter(F.col(ID_KEY).isNotNull())
 
-    if not catalog.exists(table):
-        if op == OP_UPDATE:
-            return {"input": n_batch, "written": 0, "duplicates": 0}
-        append_to_sink(batch, catalog, table, cfg.sink_partitions)
-        written = batch.count() if op != OP_INDEX else n_batch
-        return {"input": n_batch, "written": written, "duplicates": 0}
+        if not catalog.exists(table):
+            if op == OP_UPDATE:
+                return {"input": n_batch, "written": 0, "duplicates": 0}
+            append_to_sink(batch, catalog, table, cfg.sink_partitions)
+            written = batch.count() if op != OP_INDEX else n_batch
+            return {"input": n_batch, "written": written, "duplicates": 0}
 
-    existing = catalog.read(spark, table)
-    if op == OP_INDEX:
-        merged = existing.join(batch.select(ID_KEY).distinct(), on=ID_KEY, how="left_anti").unionByName(batch)
-        stats = {"input": n_batch, "written": n_batch, "duplicates": 0}
-    elif op == OP_CREATE:
-        fresh = batch.join(existing.select(ID_KEY).distinct(), on=ID_KEY, how="left_anti")
-        n_fresh = fresh.count()
-        merged = existing.unionByName(fresh)
-        stats = {"input": n_batch, "written": n_fresh, "duplicates": n_batch - n_fresh}
-    elif op == OP_UPDATE:
-        matched = _apply_doc_update(existing, batch, cfg.remove_keys_on_update, cfg.remove_keys_on_update_key)
-        n_upd = matched.count()
-        merged = existing.join(batch.select(ID_KEY).distinct(), on=ID_KEY, how="left_anti").unionByName(matched)
-        stats = {"input": n_batch, "written": n_upd, "duplicates": 0}
-    elif op == OP_UPSERT:
-        matched = _apply_doc_update(existing, batch, cfg.remove_keys_on_update, cfg.remove_keys_on_update_key)
-        inserted = batch.join(existing.select(ID_KEY).distinct(), on=ID_KEY, how="left_anti")
-        merged = (
-            existing.join(batch.select(ID_KEY).distinct(), on=ID_KEY, how="left_anti")
-            .unionByName(matched)
-            .unionByName(inserted.select(*matched.columns))
+        existing = catalog.read(spark, table)
+        batch_ids = batch.select(ID_KEY).distinct()
+        batch_parts = {r[0] for r in batch.select(INDEX_KEY).distinct().collect()}
+        # partitions where a matched _id currently lives (id moved
+        # index → its old partition must drop the row). One semi-join
+        # scan; its result is O(#sinks).
+        hit_parts = {
+            r[0]
+            for r in existing.join(batch_ids, on=ID_KEY, how="left_semi")
+            .select(INDEX_KEY)
+            .distinct()
+            .collect()
+        }
+
+        if op == OP_CREATE:
+            touched = sorted(batch_parts)  # duplicates stay put untouched
+        else:
+            touched = sorted(batch_parts | hit_parts)
+        existing_t = existing.filter(F.col(INDEX_KEY).isin(touched))
+
+        if op == OP_INDEX:
+            merged = existing_t.join(batch_ids, on=ID_KEY, how="left_anti").unionByName(batch)
+            stats = {"input": n_batch, "written": n_batch, "duplicates": 0}
+        elif op == OP_CREATE:
+            fresh = batch.join(existing.select(ID_KEY).distinct(), on=ID_KEY, how="left_anti")
+            cached.append(fresh.persist())
+            n_fresh = fresh.count()
+            merged = existing_t.unionByName(fresh)
+            stats = {"input": n_batch, "written": n_fresh, "duplicates": n_batch - n_fresh}
+        elif op == OP_UPDATE:
+            matched = _apply_doc_update(existing_t, batch, cfg.remove_keys_on_update, cfg.remove_keys_on_update_key)
+            cached.append(matched.persist())
+            n_upd = matched.count()
+            merged = existing_t.join(batch_ids, on=ID_KEY, how="left_anti").unionByName(matched)
+            stats = {"input": n_batch, "written": n_upd, "duplicates": 0}
+        elif op == OP_UPSERT:
+            matched = _apply_doc_update(existing_t, batch, cfg.remove_keys_on_update, cfg.remove_keys_on_update_key)
+            inserted = batch.join(existing.select(ID_KEY).distinct(), on=ID_KEY, how="left_anti")
+            merged = (
+                existing_t.join(batch_ids, on=ID_KEY, how="left_anti")
+                .unionByName(matched)
+                .unionByName(inserted.select(*matched.columns))
+            )
+            stats = {"input": n_batch, "written": n_batch, "duplicates": 0}
+        else:  # pragma: no cover
+            raise ValueError(op)
+
+        # stage the touched partitions' new version, then the atomic flip
+        version, vdir = catalog.stage(table)
+        merged.write.mode("overwrite").partitionBy(INDEX_KEY).parquet(vdir)
+        staged = set(_staged_partitions(vdir))
+        # a touched partition that staged no rows lost every doc — it
+        # is removed from the snapshot in the same atomic flip
+        catalog.commit(
+            table,
+            version,
+            sorted(staged),
+            replace=True,
+            removed=tuple(sorted(set(touched) - staged)),
         )
-        stats = {"input": n_batch, "written": n_batch, "duplicates": 0}
-    else:  # pragma: no cover
-        raise ValueError(op)
-
-    # rewrite (parquet has no in-place merge; Iceberg MERGE replaces this)
-    tmp = catalog.path(table) + ".tmp"
-    merged.write.mode("overwrite").partitionBy(INDEX_KEY).parquet(tmp)
-    final = catalog.path(table)
-    spark.read.parquet(tmp)  # validate before swap
-    import shutil
-
-    shutil.rmtree(final)
-    os.rename(tmp, final)
-    return stats
+        catalog.vacuum(table)
+        return stats
+    finally:
+        for df in cached:
+            df.unpersist()
 
 
 def write_metrics(

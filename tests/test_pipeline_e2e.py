@@ -112,9 +112,9 @@ def test_run_batch_and_resume(spark, tmp_path):
     assert m2.get("skipped") is True
 
     # sink row count equals routed_rows; dlq table holds the dlq rows
-    sink = spark.read.parquet(cat.path("sink"))
+    sink = cat.read(spark, "sink")
     assert sink.count() == m1["routed_rows"]
-    dlq = spark.read.parquet(cat.path("dlq"))
+    dlq = cat.read(spark, "dlq")
     assert dlq.count() == m1["dlq_rows"]
     # per-turn ordering invariant: texts equal after (conv_id, turn_idx) sort
     src = t.filter(F.col("text").isNotNull()).orderBy("conv_id", "turn_idx")

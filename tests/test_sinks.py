@@ -22,7 +22,7 @@ def test_create_is_insert_if_absent(spark, tmp_path):
     assert s1 == {"input": 2, "written": 2, "duplicates": 0}
     s2 = merge_write(spark, _df(spark, [("a", "i1", 2), ("c", "i1", 2)]), cat, cfg)
     assert s2 == {"input": 2, "written": 1, "duplicates": 1}
-    rows = {r["_id"]: r["v"] for r in spark.read.parquet(cat.path("sink")).collect()}
+    rows = {r["_id"]: r["v"] for r in cat.read(spark, "sink").collect()}
     assert rows == {"a": 1, "b": 1, "c": 2}  # 'a' kept original (not replaced)
 
 
@@ -31,7 +31,7 @@ def test_index_replaces(spark, tmp_path):
     cfg = PipelineConfig(write_operation="index", id_key="_id")
     merge_write(spark, _df(spark, [("a", "i1", 1), ("b", "i1", 1)]), cat, cfg)
     merge_write(spark, _df(spark, [("a", "i1", 9)]), cat, cfg)
-    rows = {r["_id"]: r["v"] for r in spark.read.parquet(cat.path("sink")).collect()}
+    rows = {r["_id"]: r["v"] for r in cat.read(spark, "sink").collect()}
     assert rows == {"a": 9, "b": 1}
 
 
@@ -41,7 +41,7 @@ def test_update_only_touches_existing(spark, tmp_path):
     cfg = PipelineConfig(write_operation="update", id_key="_id")
     s = merge_write(spark, _df(spark, [("a", "i1", 5), ("zz", "i1", 5)]), cat, cfg)
     assert s["written"] == 1  # 'zz' did not exist → skipped
-    rows = {r["_id"]: r["v"] for r in spark.read.parquet(cat.path("sink")).collect()}
+    rows = {r["_id"]: r["v"] for r in cat.read(spark, "sink").collect()}
     assert rows == {"a": 5}
 
 
@@ -50,7 +50,7 @@ def test_upsert_merges(spark, tmp_path):
     merge_write(spark, _df(spark, [("a", "i1", 1)]), cat, PipelineConfig(write_operation="index"))
     cfg = PipelineConfig(write_operation="upsert", id_key="_id")
     merge_write(spark, _df(spark, [("a", "i1", 7), ("b", "i1", 7)]), cat, cfg)
-    rows = {r["_id"]: r["v"] for r in spark.read.parquet(cat.path("sink")).collect()}
+    rows = {r["_id"]: r["v"] for r in cat.read(spark, "sink").collect()}
     assert rows == {"a": 7, "b": 7}
 
 
@@ -61,17 +61,116 @@ def test_missing_id_dropped_for_create(spark, tmp_path):
     cfg = PipelineConfig(write_operation="create", id_key="_id")
     s = merge_write(spark, _df(spark, [(None, "i1", 1), ("a", "i1", 1)]), cat, cfg)
     assert s["written"] == 1
-    assert spark.read.parquet(cat.path("sink")).count() == 1
+    assert cat.read(spark, "sink").count() == 1
 
 
 def test_partitioned_fanout_layout(spark, tmp_path):
-    """R6: one write, per-_index directories (the per-sink grouping)."""
+    """R6: one write, per-_index directories (the per-sink grouping),
+    committed as an immutable version dir in the manifest."""
     import os
 
     cat = SinkCatalog(str(tmp_path))
     df = _df(spark, [("a", "logs-2024.01.01", 1), ("b", "logs-2024.01.02", 1), ("c", "logs-2024.01.01", 1)])
     append_to_sink(df, cat, "sink")
-    dirs = sorted(d for d in os.listdir(cat.path("sink")) if d.startswith("_index="))
+    m = cat.manifest("sink")
+    assert sorted(m["partitions"]) == ["logs-2024.01.01", "logs-2024.01.02"]
+    vdir = os.path.join(cat.path("sink"), m["partitions"]["logs-2024.01.01"][0])
+    dirs = sorted(d for d in os.listdir(vdir) if d.startswith("_index="))
     assert dirs == ["_index=logs-2024.01.01", "_index=logs-2024.01.02"]
-    back = spark.read.parquet(cat.path("sink"))
+    back = cat.read(spark, "sink")
     assert back.filter(F.col("_index") == "logs-2024.01.01").count() == 2
+
+
+def test_merge_rewrites_only_touched_partitions(spark, tmp_path):
+    """Scale contract: a merge batch touching one _index partition
+    must not rewrite the others — their data files stay byte-identical
+    in their original version dir."""
+    import os
+
+    cat = SinkCatalog(str(tmp_path))
+    cfg = PipelineConfig(write_operation="upsert", id_key="_id")
+    seed = _df(spark, [("a", "i1", 1), ("b", "i2", 1), ("c", "i3", 1)])
+    merge_write(spark, seed, cat, cfg)
+    m0 = cat.manifest("sink")
+
+    def files_of(part):
+        out = {}
+        for v in cat.manifest("sink")["partitions"][part]:
+            d = os.path.join(cat.path("sink"), v, f"_index={part}")
+            for f in os.listdir(d):
+                if f.endswith(".parquet"):
+                    fp = os.path.join(d, f)
+                    out[fp] = os.stat(fp).st_mtime_ns
+        return out
+
+    before_i2, before_i3 = files_of("i2"), files_of("i3")
+    merge_write(spark, _df(spark, [("a", "i1", 9), ("d", "i1", 9)]), cat, cfg)
+    m1 = cat.manifest("sink")
+    # untouched partitions still point at the ORIGINAL version dirs,
+    # files untouched; the touched partition moved to a new version
+    assert m1["partitions"]["i2"] == m0["partitions"]["i2"]
+    assert m1["partitions"]["i3"] == m0["partitions"]["i3"]
+    assert m1["partitions"]["i1"] != m0["partitions"]["i1"]
+    assert files_of("i2") == before_i2 and files_of("i3") == before_i3
+    rows = {r["_id"]: r["v"] for r in cat.read(spark, "sink").collect()}
+    assert rows == {"a": 9, "b": 1, "c": 1, "d": 9}
+
+
+def test_merge_crash_before_flip_preserves_snapshot(spark, tmp_path, monkeypatch):
+    """Crash-safety contract: a failure at ANY point before the atomic
+    manifest flip leaves the previous snapshot fully readable; a retry
+    then succeeds (the orphan staging dir is garbage, not state)."""
+    import pytest
+
+    cat = SinkCatalog(str(tmp_path))
+    cfg = PipelineConfig(write_operation="index", id_key="_id")
+    merge_write(spark, _df(spark, [("a", "i1", 1), ("b", "i2", 2)]), cat, cfg)
+
+    real_commit = SinkCatalog.commit
+
+    def dying_commit(self, table, version, touched, replace, removed=()):
+        if replace:
+            raise RuntimeError("simulated crash before manifest flip")
+        return real_commit(self, table, version, touched, replace, removed)
+
+    monkeypatch.setattr(SinkCatalog, "commit", dying_commit)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        merge_write(spark, _df(spark, [("a", "i1", 9)]), cat, cfg)
+    monkeypatch.setattr(SinkCatalog, "commit", real_commit)
+
+    # old snapshot intact — the staged-but-uncommitted version is invisible
+    rows = {r["_id"]: r["v"] for r in cat.read(spark, "sink").collect()}
+    assert rows == {"a": 1, "b": 2}
+    # retry completes and vacuums the orphan
+    merge_write(spark, _df(spark, [("a", "i1", 9)]), cat, cfg)
+    rows = {r["_id"]: r["v"] for r in cat.read(spark, "sink").collect()}
+    assert rows == {"a": 9, "b": 2}
+
+
+def test_merge_moves_id_across_partitions(spark, tmp_path):
+    """An _id whose batch row routes to a new _index must vanish from
+    its old partition (the old partition is in the touched set even
+    though the batch never names it)."""
+    cat = SinkCatalog(str(tmp_path))
+    cfg = PipelineConfig(write_operation="index", id_key="_id")
+    merge_write(spark, _df(spark, [("a", "i-old", 1), ("b", "i-keep", 1)]), cat, cfg)
+    merge_write(spark, _df(spark, [("a", "i-new", 2)]), cat, cfg)
+    rows = {(r["_id"], r["_index"]): r["v"] for r in cat.read(spark, "sink").collect()}
+    assert rows == {("a", "i-new"): 2, ("b", "i-keep"): 1}
+    # the emptied partition is gone from the manifest
+    assert "i-old" not in cat.manifest("sink")["partitions"]
+
+
+def test_target_file_size_bounds_files(spark, tmp_path):
+    """R7 knob wiring: a tiny target_file_size_bytes forces multiple
+    files per partition via maxRecordsPerFile."""
+    import os
+
+    cat = SinkCatalog(str(tmp_path))
+    df = spark.range(1000).selectExpr("cast(id AS string) AS _id", "'i1' AS _index", "cast(id AS int) AS v")
+    append_to_sink(df, cat, "sink", sink_partitions=1, target_file_size_bytes=400)
+    m = cat.manifest("sink")
+    d = os.path.join(cat.path("sink"), m["partitions"]["i1"][0], "_index=i1")
+    n_files = sum(1 for f in os.listdir(d) if f.endswith(".parquet"))
+    assert n_files > 1
+    assert cat.read(spark, "sink").count() == 1000

@@ -38,14 +38,14 @@ def test_partial_update_excludes_keys(spark, tmp_path):
     upd = spark.createDataFrame([("x", "i1", 100, 999)], schema)
     cfg = PipelineConfig(write_operation="update", remove_keys_on_update=("b",))
     merge_write(spark, upd, cat, cfg)
-    rows = {r["_id"]: (r["a"], r["b"]) for r in spark.read.parquet(cat.path("sink")).collect()}
+    rows = {r["_id"]: (r["a"], r["b"]) for r in cat.read(spark, "sink").collect()}
     assert rows == {"x": (100, 10), "y": (2, 20)}  # a updated, b preserved
 
     # upsert: matched rows respect the exclusion, new rows insert fully
     ups = spark.createDataFrame([("x", "i1", 7, 777), ("z", "i1", 3, 30)], schema)
     cfg2 = PipelineConfig(write_operation="upsert", remove_keys_on_update=("b",))
     merge_write(spark, ups, cat, cfg2)
-    rows = {r["_id"]: (r["a"], r["b"]) for r in spark.read.parquet(cat.path("sink")).collect()}
+    rows = {r["_id"]: (r["a"], r["b"]) for r in cat.read(spark, "sink").collect()}
     assert rows == {"x": (7, 10), "y": (2, 20), "z": (3, 30)}
 
 
@@ -77,6 +77,6 @@ def test_per_record_update_exclusion(spark, tmp_path):
     )
     cfg = PipelineConfig(write_operation="update", remove_keys_on_update_key="skip_cols")
     merge_write(spark, upd, cat, cfg)
-    rows = {r["_id"]: (r["a"], r["b"]) for r in spark.read.parquet(cat.path("sink")).collect()}
+    rows = {r["_id"]: (r["a"], r["b"]) for r in cat.read(spark, "sink").collect()}
     # x excluded 'b' for its own row; y excluded nothing
     assert rows == {"x": (100, 10), "y": (200, 888)}

@@ -41,7 +41,7 @@ def test_stream_available_now_matches_batch(spark, tmp_path):
         available_now=True,
     )
     q.awaitTermination(120)
-    sink = spark.read.parquet(cat.path("sink"))
+    sink = cat.read(spark, "sink")
 
     from fluent_plugin_opensearch_spark import build, split_streams
 
@@ -52,7 +52,7 @@ def test_stream_available_now_matches_batch(spark, tmp_path):
         spark, read_transcript_stream(spark, src_dir), CFG, cat, str(tmp_path / "ckpt")
     )
     q2.awaitTermination(60)
-    assert spark.read.parquet(cat.path("sink")).count() == good.count()
+    assert cat.read(spark, "sink").count() == good.count()
 
 
 def test_windowed_counts_run(spark, tmp_path):
@@ -93,8 +93,8 @@ def test_retry_loop_drains(spark, tmp_path):
     assert totals["success"] == 10
     assert totals["retry_exhausted"] == 0
     assert totals["attempts"] == 3
-    assert spark.read.parquet(cat.path("sink")).count() == 10
-    retry_rows = spark.read.parquet(cat.path("retry"))
+    assert cat.read(spark, "sink").count() == 10
+    retry_rows = cat.read(spark, "retry")
     assert retry_rows.count() == 4  # 2 ids × 2 failed attempts
     assert set(r["tag"] for r in retry_rows.collect()) == {"retry.transcripts"}
 
@@ -108,7 +108,7 @@ def test_retry_exhaustion_goes_to_dlq(spark, tmp_path):
 
     totals = run_with_retries(spark, _batch(spark, range(3)), cfg, cat, respond)
     assert totals["retry_exhausted"] == 3
-    dlq = spark.read.parquet(cat.path("dlq"))
+    dlq = cat.read(spark, "dlq")
     assert dlq.filter(F.col("dlq_reason") == "retry_exhausted").count() == 3
 
 
@@ -122,9 +122,7 @@ def test_abort_fails_whole_batch(spark, tmp_path):
     # nothing written — chunk-level abort
     import os
 
-    assert not os.path.exists(cat.path("sink")) or not any(
-        f.startswith("_index=") for f in os.listdir(cat.path("sink"))
-    )
+    assert not cat.exists("sink")  # no committed snapshot
 
 
 def test_data_stream_validation_and_write(spark, tmp_path):
@@ -135,7 +133,7 @@ def test_data_stream_validation_and_write(spark, tmp_path):
     t = load_transcripts(spark, SF_SMOKE).limit(100)
     out = write_data_stream(t, cat, "logs-app-default")
     assert out["written"] == 100
-    back = spark.read.parquet(cat.path("sink"))
+    back = cat.read(spark, "sink")
     assert back.select("@timestamp").first()[0] is not None
 
 
