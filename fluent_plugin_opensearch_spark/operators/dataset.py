@@ -188,44 +188,27 @@ def minhash_lsh_pairs(
     )
 
 
-def simhash64(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """64-bit SimHash over word tokens, pure built-ins: per bit j,
-    sign = sum over tokens of (bit_j(xxhash64(tok)) ? 1 : -1); simhash
-    bit j = sign > 0. Projection only — linear scale. Near-dup search
-    then groups on rotated prefixes (not implemented round 1)."""
-    docs = _ensure_parallelism(docs)
-    toks = F.array_distinct(F.split(F.trim(F.col(text_col)), r"\s+"))
-    hashes = F.transform(toks, lambda t: F.xxhash64(t))
-
-    def vote(j: int):
-        return F.aggregate(
-            hashes,
-            F.lit(0),
-            lambda acc, h: acc
-            + F.when(F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
-        )
-
-    bit_votes = [vote(j) for j in range(64)]
-    sim = None
-    for j, v in enumerate(bit_votes):
-        bit = F.when(v > 0, F.lit(1).cast("bigint")).otherwise(F.lit(0).cast("bigint"))
-        term = F.shiftleft(bit, j)
-        sim = term if sim is None else sim.bitwiseXOR(term)  # bits disjoint: XOR == OR == +
-    return docs.select(F.col(id_col), sim.alias("simhash"))
-
-
-def simhash_md5(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 32) -> DataFrame:
-    """Engine-portable SimHash: token hash = first 15 hex digits of
-    md5 (60 bits, identical in any engine), bit votes via one
-    explode→groupBy aggregation (same scale shape as minhash). Used by
-    the oracle-checked ``simhash_md5`` query; ``simhash64`` is the
-    faster xxhash64 production variant."""
-    toks = _ensure_parallelism(docs).select(
+def _token_rows(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, tok) rows from distinct whitespace tokens — the map-side
+    explode shared by every SimHash variant. Docs with NULL text
+    produce no rows (they can't be near-dup candidates)."""
+    return _ensure_parallelism(docs).select(
         F.col(id_col),
         F.explode(F.array_distinct(F.split(F.trim(F.col(text_col)), r"\s+"))).alias("tok"),
     )
-    th = F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10).cast("bigint")
-    hashed = toks.select(id_col, th.alias("th"))
+
+
+def _simhash_from_token_hashes(hashed: DataFrame, id_col: str, bits: int) -> DataFrame:
+    """Shared SimHash vote/pack stage: (id, th) token-hash rows → ONE
+    groupBy(id) with ``bits`` conditional-sum votes (map-side partial
+    agg), then sign bits packed into a bigint. This is the plan shape
+    that scales — each token is hashed exactly once. (r1's
+    array-expression variant evaluated the token hashing once per bit:
+    column lambdas re-evaluate outer expressions per element — the
+    repo's documented ~300× gotcha. Deleted per VERDICT r1.)
+
+    Bits are disjoint, so XOR-combining the shifted sign bits equals
+    addition while staying safe for bit 63 under ANSI mode."""
     votes = [
         F.sum(
             F.when(F.shiftright(F.col("th"), j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
@@ -237,8 +220,26 @@ def simhash_md5(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
     for j in range(bits):
         bit = F.when(F.col(f"_v{j}") > 0, F.lit(1).cast("bigint")).otherwise(F.lit(0).cast("bigint"))
         term = F.shiftleft(bit, j)
-        sim = term if sim is None else sim + term
+        sim = term if sim is None else sim.bitwiseXOR(term)
     return agg.select(F.col(id_col), sim.alias("simhash"))
+
+
+def simhash64(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """64-bit SimHash over word tokens (xxhash64 production variant):
+    explode → one groupBy — same scale shape as minhash/simhash_md5,
+    via the shared vote/pack stage."""
+    hashed = _token_rows(docs, id_col, text_col).select(id_col, F.xxhash64("tok").alias("th"))
+    return _simhash_from_token_hashes(hashed, id_col, 64)
+
+
+def simhash_md5(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 32) -> DataFrame:
+    """Engine-portable SimHash: token hash = first 15 hex digits of
+    md5 (60 bits, identical in any engine) through the shared
+    vote/pack stage. Used by the oracle-checked ``simhash_md5`` query;
+    ``simhash64`` is the faster xxhash64 production variant."""
+    th = F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10).cast("bigint")
+    hashed = _token_rows(docs, id_col, text_col).select(id_col, th.alias("th"))
+    return _simhash_from_token_hashes(hashed, id_col, bits)
 
 
 def simhash_neardup_pairs(

@@ -131,6 +131,34 @@ def test_simhash_close_for_near_dup(spark):
     assert ham(h[1], h[2]) <= 16
 
 
+def test_simhash64_refactor_preserves_values(spark):
+    """The explode→groupBy simhash64 must emit bit-identical hashes to
+    the r1 array-expression math (computed inline here as the slow
+    reference — it re-hashes per bit, fine for 3 rows)."""
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, "x y z"), (3, "one one two")],
+        "doc_id bigint, text string",
+    )
+    toks = F.array_distinct(F.split(F.trim(F.col("text")), r"\s+"))
+    hashes = F.transform(toks, lambda t: F.xxhash64(t))
+
+    def vote(j):
+        return F.aggregate(
+            hashes,
+            F.lit(0),
+            lambda acc, h: acc + F.when(F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
+        )
+
+    sim = None
+    for j in range(64):
+        bit = F.when(vote(j) > 0, F.lit(1).cast("bigint")).otherwise(F.lit(0).cast("bigint"))
+        term = F.shiftleft(bit, j)
+        sim = term if sim is None else sim.bitwiseXOR(term)
+    want = {r["doc_id"]: r["simhash"] for r in df.select("doc_id", sim.alias("simhash")).collect()}
+    got = {r["doc_id"]: r["simhash"] for r in DS.simhash64(df).collect()}
+    assert got == want
+
+
 def test_ann_exact_vs_ivf_recall(spark):
     """IVF buckets must contain most of the exact top-k (recall check
     on the real embeddings table at smoke scale)."""
