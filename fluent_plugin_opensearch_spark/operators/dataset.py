@@ -71,12 +71,22 @@ def _shingles(text_col: str, k: int = 3):
     ).otherwise(F.array().cast("array<string>"))
 
 
+def _md5_hasher(col, seed: int):
+    """Engine-portable shingle hash: first 15 hex digits of
+    md5(value + '#' + seed) as a 60-bit bigint — identical in Spark
+    and DuckDB (the simhash_md5 trick applied to minhash)."""
+    return F.conv(
+        F.substring(F.md5(F.concat(col, F.lit(f"#{seed}"))), 1, 15), 16, 10
+    ).cast("bigint")
+
+
 def minhash_signatures(
     docs: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
     num_hashes: int = 32,
     shingle_k: int = 3,
+    hasher=None,
 ) -> DataFrame:
     """MinHash signatures from word shingles.
 
@@ -91,12 +101,11 @@ def minhash_signatures(
     Docs with fewer than ``shingle_k`` tokens produce no shingles and
     are absent from the output (they cannot be near-dup candidates).
     """
+    hasher = hasher or (lambda c, seed: F.xxhash64(c, F.lit(seed)))
     sh_rows = _ensure_parallelism(docs).select(
         F.col(id_col), F.explode(_shingles(text_col, shingle_k)).alias("shingle")
     )
-    mins = [
-        F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"_h{i}") for i in range(num_hashes)
-    ]
+    mins = [F.min(hasher(F.col("shingle"), i)).alias(f"_h{i}") for i in range(num_hashes)]
     agg = sh_rows.groupBy(id_col).agg(*mins, F.collect_set("shingle").alias("shingles"))
     return agg.select(
         F.col(id_col),
@@ -114,6 +123,8 @@ def minhash_lsh_pairs(
     shingle_k: int = 3,
     min_jaccard: float = 0.5,
     max_bucket_size: int = 1000,
+    hasher=None,
+    bucket_by_values: bool = False,
 ) -> DataFrame:
     """MinHash + LSH near-duplicate pairs:
 
@@ -137,19 +148,25 @@ def minhash_lsh_pairs(
     # band self-join recomputes it on BOTH sides (measured 300×
     # slow-down). At 100 TB this persist becomes an intermediate
     # signatures table.
-    sigs = minhash_signatures(docs, id_col, text_col, num_hashes, shingle_k).persist()
+    sigs = minhash_signatures(docs, id_col, text_col, num_hashes, shingle_k, hasher).persist()
 
     # band → bucket WITHOUT carrying the shingle arrays (keeps the
-    # exploded exchange narrow: 3 columns, not 8× duplicated arrays)
+    # exploded exchange narrow: 3 columns, not 8× duplicated arrays).
+    # Default bucket = xxhash64 of the band's signature slice (64-bit
+    # exchange key); ``bucket_by_values`` joins on the raw slice array
+    # instead — the engine-portable variant the DuckDB oracle can
+    # reproduce (same candidates modulo astronomically-unlikely
+    # xxhash64 slice collisions).
+    def bucket_expr(b: int):
+        slice_cols = [F.col("signature")[b * rows + r] for r in range(rows)]
+        return F.array(*slice_cols) if bucket_by_values else F.xxhash64(*slice_cols)
+
     banded = sigs.select(
         F.col(id_col),
         F.explode(
             F.array(
                 *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.xxhash64(*[F.col("signature")[b * rows + r] for r in range(rows)]).alias("bucket"),
-                    )
+                    F.struct(F.lit(b).alias("band"), bucket_expr(b).alias("bucket"))
                     for b in range(bands)
                 ]
             )
@@ -450,6 +467,70 @@ def dedup_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
         if changed == 0:
             break
     return labels.select(F.col("id").alias("doc_id"), "cluster_id")
+
+
+def dedup_clusters_star(pairs: DataFrame, max_iter: int = 20, stats: dict | None = None) -> DataFrame:
+    """Connected components via alternating large-star / small-star
+    (Kiveris et al., "Connected Components in MapReduce and Beyond") —
+    the production CC for web-scale near-dup graphs: each round rewires
+    nodes DIRECTLY toward their component minimum, so convergence is
+    O(log n) rounds even on skewed degree distributions and long
+    chains, where plain min-label propagation needs O(diameter) rounds
+    (see ``dedup_clusters``). Each half-round is one groupBy + one
+    join on the edge list; lineage is cut per round.
+
+    large-star: every neighbor v > u attaches to min(Γ(u) ∪ {u});
+    small-star: every neighbor v ≤ u (plus u) attaches to min(Γ⁻(u) ∪ {u}).
+    Fixpoint = union of stars centered at component minima.
+
+    Returns (doc_id, cluster_id = min doc_id in component) for every
+    node appearing in ``pairs`` — identical output contract to
+    ``dedup_clusters`` (equality-tested)."""
+    def canon(df: DataFrame) -> DataFrame:
+        return (
+            df.filter(F.col("x") != F.col("y"))
+            .select(F.least("x", "y").alias("a"), F.greatest("x", "y").alias("b"))
+            .distinct()
+        )
+
+    edges = canon(
+        pairs.select(F.col("doc_a").alias("x"), F.col("doc_b").alias("y"))
+    ).localCheckpoint()
+    rounds = 0
+    for _ in range(max_iter):
+        rounds += 1
+        # large-star over the symmetric neighbor view
+        sym = edges.unionByName(edges.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        mins = sym.groupBy("a").agg(F.min("b").alias("mn"))
+        ls = canon(
+            sym.join(mins, "a")
+            .filter(F.col("b") > F.col("a"))
+            .select(F.col("b").alias("x"), F.least(F.col("mn"), F.col("a")).alias("y"))
+        )
+        # small-star on the canonical (lo=a < hi=b) orientation:
+        # group by hi; every lo-neighbor and hi itself attach to the
+        # minimum lo-neighbor
+        minsS = ls.groupBy("b").agg(F.min("a").alias("mn"))
+        ss = canon(
+            ls.join(minsS, "b")
+            .select(F.col("a").alias("x"), F.col("mn").alias("y"))
+            .unionByName(minsS.select(F.col("b").alias("x"), F.col("mn").alias("y")))
+        ).localCheckpoint()
+        converged = (
+            ss.count() == edges.count()
+            and ss.exceptAll(edges).limit(1).count() == 0
+        )
+        edges = ss
+        if converged:
+            break
+    if stats is not None:
+        stats["rounds"] = rounds
+    sym = edges.unionByName(edges.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    return (
+        sym.groupBy("a")
+        .agg(F.min("b").alias("mn"))
+        .select(F.col("a").alias("doc_id"), F.least("a", "mn").alias("cluster_id"))
+    )
 
 
 def embedding_neardup_pairs(

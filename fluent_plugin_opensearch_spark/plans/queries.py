@@ -908,14 +908,97 @@ def q_simhash_neardup(spark, sf_dir):
     return DS.simhash_neardup_pairs(_docs(spark, sf_dir), max_hamming=4)
 
 
-# --- rows-only (non-SQL-expressible / engine-specific hash functions) ---
+def q_minhash_md5_pairs(spark, sf_dir):
+    """MinHash+LSH near-dup pairs, engine-portable twin: md5-based
+    shingle hashing + raw-slice band buckets so DuckDB reproduces the
+    ENTIRE chain (shingles → signatures → banded candidates → exact
+    Jaccard) value-for-value. ``minhash_lsh_pairs`` (xxhash64 buckets)
+    is the production variant — same plan shape."""
+    return DS.minhash_lsh_pairs(
+        _docs(spark, sf_dir),
+        num_hashes=8,
+        bands=4,
+        min_jaccard=0.2,
+        max_bucket_size=1_000_000,
+        hasher=DS._md5_hasher,
+        bucket_by_values=True,
+    )
+
+
+def _minhash_md5_sql_ctes(num_hashes: int = 8, bands: int = 4, min_jaccard: float = 0.2) -> str:
+    """Shared CTE block: documents → shingles → md5 minhash signatures
+    → banded candidates → Jaccard-verified pairs (mirrors
+    minhash_lsh_pairs(hasher=_md5_hasher, bucket_by_values=True))."""
+    rows = num_hashes // bands
+    hash_cols = ",\n    ".join(
+        f"min(('0x' || substr(md5(shingle || '#{i}'), 1, 15))::BIGINT) AS m{i}"
+        for i in range(num_hashes)
+    )
+    band_rows = "\n  UNION ALL ".join(
+        "SELECT doc_id, {b} AS band, [{key}] AS key FROM sigs".format(
+            b=b, key=", ".join(f"m{b * rows + r}" for r in range(rows))
+        )
+        for b in range(bands)
+    )
+    return rf"""toks AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents
+  WHERE text IS NOT NULL),
+sh AS (
+  SELECT doc_id,
+    list_distinct(list_transform(range(len(t) - 2),
+                                 i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])) AS shingles
+  FROM toks WHERE len(t) >= 3),
+ex AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+sigs AS (
+  SELECT doc_id,
+    {hash_cols}
+  FROM ex GROUP BY doc_id),
+bands AS (
+  {band_rows}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+jac AS (
+  SELECT doc_a, doc_b,
+    CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+      / len(list_distinct(list_concat(sa.shingles, sb.shingles))) AS j
+  FROM cand
+  JOIN sh sa ON sa.doc_id = doc_a
+  JOIN sh sb ON sb.doc_id = doc_b),
+pairs AS (
+  SELECT doc_a, doc_b, round(j, 4) AS jaccard FROM jac WHERE j >= {min_jaccard})"""
+
+
+O_MINHASH_MD5 = "WITH " + _minhash_md5_sql_ctes() + "\nSELECT doc_a, doc_b, jaccard FROM pairs"
 
 
 def q_dedup_clusters(spark, sf_dir):
-    """Near-dup clusters: LSH pairs → connected components (iterative
-    min-label propagation; non-SQL-expressible → rows-only check)."""
-    pairs = DS.minhash_lsh_pairs(_docs(spark, sf_dir), min_jaccard=0.2)
-    return DS.dedup_clusters(pairs)
+    """Near-dup clusters over the portable minhash pairs: connected
+    components via alternating large-star/small-star (the production
+    CC). Oracle: recursive-CTE reachability closure over the same
+    pair set → min reachable id per node."""
+    pairs = q_minhash_md5_pairs(spark, sf_dir)
+    return DS.dedup_clusters_star(pairs)
+
+
+O_DEDUP_CLUSTERS = (
+    "WITH RECURSIVE "
+    + _minhash_md5_sql_ctes()
+    + """,
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION SELECT doc_b, doc_a FROM pairs),
+reach(id, r) AS (
+  SELECT DISTINCT src, src FROM edges
+  UNION
+  SELECT reach.id, e.dst FROM reach JOIN edges e ON reach.r = e.src)
+SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id"""
+)
+
+
+# --- rows-only (non-SQL-expressible / engine-specific hash functions) ---
+
 
 def q_minhash_lsh_pairs(spark, sf_dir):
     return DS.minhash_lsh_pairs(_docs(spark, sf_dir), num_hashes=32, bands=8, min_jaccard=0.2)
@@ -981,10 +1064,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "grok_dictionary": q_grok_dictionary,
     "duration_percentiles": q_duration_percentiles,
     "rollup_cascade": q_rollup_cascade,
+    "minhash_md5_pairs": q_minhash_md5_pairs,
+    "dedup_clusters": q_dedup_clusters,
     # rows-only checks (engine-specific hashing / pandas-UDF stages)
     "simhash_neardup": q_simhash_neardup,
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
-    "dedup_clusters": q_dedup_clusters,
     "simhash64": q_simhash,
     "ivf_topk": q_ivf_topk,
     "multimodal_features": q_multimodal_features,
@@ -1030,4 +1114,6 @@ ORACLES: dict[str, str] = {
     "grok_dictionary": O_GROK_DICT,
     "duration_percentiles": O_DURATION_PCT,
     "rollup_cascade": O_ROLLUP,
+    "minhash_md5_pairs": O_MINHASH_MD5,
+    "dedup_clusters": O_DEDUP_CLUSTERS,
 }

@@ -131,6 +131,37 @@ def test_simhash_close_for_near_dup(spark):
     assert ham(h[1], h[2]) <= 16
 
 
+def test_star_cc_planted_graphs(spark):
+    """large-star/small-star CC: correct clusters on a chain (the
+    min-label worst case), a star (skewed degree), and an isolated
+    pair — in O(log) rounds, not O(diameter)."""
+    edges = (
+        [(i, i + 1) for i in range(16)]
+        + [(100, 100 + i) for i in range(1, 8)]
+        + [(200, 201)]
+    )
+    df = spark.createDataFrame(edges, "doc_a bigint, doc_b bigint")
+    stats = {}
+    got = {r["doc_id"]: r["cluster_id"] for r in DS.dedup_clusters_star(df, stats=stats).collect()}
+    want = {i: 0 for i in range(17)} | {100 + i: 100 for i in range(8)} | {200: 200, 201: 200}
+    assert got == want
+    assert stats["rounds"] <= 6, stats  # chain diameter is 16
+
+
+def test_star_cc_matches_minlabel_random(spark):
+    """Output-contract equality with the min-label baseline on a
+    random graph (same clusters, any order)."""
+    import random
+
+    rng = random.Random(7)
+    edges = [(rng.randrange(30), rng.randrange(30)) for _ in range(25)]
+    edges = [(a, b) for a, b in edges if a != b]
+    df = spark.createDataFrame(edges, "doc_a bigint, doc_b bigint")
+    star = {(r["doc_id"], r["cluster_id"]) for r in DS.dedup_clusters_star(df).collect()}
+    ml = {(r["doc_id"], r["cluster_id"]) for r in DS.dedup_clusters(df, max_iter=40).collect()}
+    assert star == ml
+
+
 def test_simhash64_refactor_preserves_values(spark):
     """The explode→groupBy simhash64 must emit bit-identical hashes to
     the r1 array-expression math (computed inline here as the slow
