@@ -99,6 +99,58 @@ def test_retry_loop_drains(spark, tmp_path):
     assert set(r["tag"] for r in retry_rows.collect()) == {"retry.transcripts"}
 
 
+def test_stateful_sessionize_hot_conv_bounded(spark, tmp_path):
+    """Skew guard: a 20k-turn hot conversation (FIXTURES.md 1000×
+    pattern) through the vectorized stateful sessionizer — row-identical
+    to the batch window plan, within a loose wall-time bound (the
+    per-row-Python version would blow it)."""
+    import time
+
+    from fluent_plugin_opensearch_spark.operators.sessions import sessionize
+    from fluent_plugin_opensearch_spark.streaming.stream import sessionize_stream
+
+    hot = spark.range(20_000).selectExpr(
+        "'hot' AS conv_id",
+        "cast(id AS int) AS turn_idx",
+        "'user' AS role",
+        "'t' AS text",
+        "cast(NULL AS string) AS tool",
+        # a >30min break every 500 turns; otherwise 1 min spacing
+        "cast(timestamp '2024-01-01 00:00:00' + make_interval(0,0,0,0,0, cast(id AS int) + 31 * cast(id DIV 500 AS int), 0) AS timestamp_ntz) AS ts",
+    )
+    cold = spark.range(5).selectExpr(
+        "concat('cold', id) AS conv_id", "0 AS turn_idx", "'user' AS role",
+        "'t' AS text", "cast(NULL AS string) AS tool",
+        "cast(timestamp '2024-01-01 00:00:00' AS timestamp_ntz) AS ts",
+    )
+    src_dir = str(tmp_path / "hot_src")
+    hot.unionByName(cold).orderBy("conv_id", "turn_idx").coalesce(1).write.parquet(src_dir)
+
+    t0 = time.time()
+    stream = sessionize_stream(read_transcript_stream(spark, src_dir), gap_minutes=30)
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("hot_sess")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "hot_ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    wall = time.time() - t0
+    got = {
+        (r["conv_id"], r["turn_idx"]): r["session_no"]
+        for r in spark.table("hot_sess").collect()
+    }
+    want = {
+        (r["conv_id"], r["turn_idx"]): r["session_no"]
+        for r in sessionize(spark.read.parquet(src_dir), gap_minutes=30).collect()
+    }
+    assert got == want and len(got) == 20_005
+    assert max(s for (c, _), s in got.items() if c == "hot") == 39  # breaks fired
+    assert wall < 120, f"hot-conv drain took {wall:.0f}s"
+
+
 def test_retry_exhaustion_goes_to_dlq(spark, tmp_path):
     cat = SinkCatalog(str(tmp_path))
     cfg = PipelineConfig(max_retries=2, retry_tag="r")
