@@ -57,6 +57,9 @@ class PipelineConfig:
     id_key: str | None = None
     parent_key: str | None = None
     routing_key: str | None = None
+    # ingest-pipeline meta with placeholder expansion
+    # (out_opensearch.rb:153,835-840,1027-1029)
+    pipeline: str | None = None
 
     # --- write semantics (out_opensearch.rb:173, 751-774) ---
     write_operation: str = OP_INDEX

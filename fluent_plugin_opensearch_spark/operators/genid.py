@@ -86,9 +86,11 @@ def add_hash_id(df: DataFrame, cfg: PipelineConfig, tag_col: str = "tag", time_c
 
 
 def add_random_id(df: DataFrame, cfg: PipelineConfig) -> DataFrame:
-    """P11: random id — Base64(16 random bytes) like
-    Base64.encode64(UUID) in filter_simple
-    (filter_opensearch_genid.rb:72-75). Non-deterministic by design
-    (no dedup value); only used when determinism is not requested."""
-    raw_uuid_hex = F.regexp_replace(F.expr("uuid()"), "-", "")
-    return df.withColumn(cfg.genid_hash_id_key, F.base64(F.unhex(raw_uuid_hex)))
+    """P11: random id — ``Base64.strict_encode64(SecureRandom.uuid)``
+    (filter_opensearch_genid.rb:73) encodes the 36-char UUID STRING
+    (not its bytes), yielding a 48-char id; matched here for format
+    parity. Non-deterministic by design (no dedup value); only used
+    when determinism is not requested."""
+    return df.withColumn(
+        cfg.genid_hash_id_key, F.base64(F.encode(F.expr("uuid()"), "utf-8"))
+    )

@@ -59,15 +59,29 @@ def include_tag(df: DataFrame, cfg: PipelineConfig, tag_col: str = "tag") -> Dat
     return df.withColumn(cfg.tag_key, F.col(tag_col))
 
 
-def inject_chunk_id(df: DataFrame, chunk_id_key: str = "chunk_id") -> DataFrame:
+def inject_chunk_id(
+    df: DataFrame, chunk_id_key: str = "chunk_id", buckets: int = 256
+) -> DataFrame:
     """P7: chunk-id injection (inject_chunk_id_to_record_if_needed,
     out_opensearch.rb:847-854). The Spark batch lineage analog: a
-    deterministic id per (sink-day, shuffle partition) so replays are
+    deterministic id per (sink, content bucket) so replays are
     dedupable (test_out_opensearch.rb:1923-1955 exercises dedup on it).
-    """
+
+    The bucket is derived from STABLE row content (conv_id when
+    present), not spark_partition_id — a replay under a different
+    partition layout/parallelism still produces the same chunk ids
+    (ADVICE r1). The partition-id fallback only applies to schemas
+    with no stable key, where the replay-dedup claim is scoped to
+    same-plan replays."""
+    stable = next((c for c in ("conv_id", "_id", "event_id") if c in df.columns), None)
+    bucket = (
+        F.pmod(F.xxhash64(F.col(stable)), F.lit(buckets))
+        if stable
+        else F.spark_partition_id()
+    )
     return df.withColumn(
         chunk_id_key,
-        F.lower(F.hex(F.xxhash64(F.col("_index"), F.spark_partition_id()))),
+        F.lower(F.hex(F.xxhash64(F.col("_index"), bucket))),
     )
 
 
@@ -106,11 +120,19 @@ def extract_meta(df: DataFrame, cfg: PipelineConfig) -> DataFrame:
             return F.lit(None).cast("string")
         return resolve_key_path(key).cast("string")
 
-    return (
+    out = (
         df.withColumn(ID_KEY, meta(cfg.id_key))
         .withColumn(PARENT_KEY, meta(cfg.parent_key))
         .withColumn(ROUTING_KEY, meta(cfg.routing_key))
     )
+    if cfg.pipeline:
+        # ingest-pipeline meta, placeholder-expanded per row
+        # (meta["pipeline"], out_opensearch.rb:1027-1029; expansion
+        # :835-840 — per-chunk there, per-row here, values agree)
+        from .routing import expand_placeholders
+
+        out = out.withColumn("_pipeline", expand_placeholders(cfg.pipeline))
+    return out
 
 
 def missing_id_filter(df: DataFrame, cfg: PipelineConfig) -> DataFrame:

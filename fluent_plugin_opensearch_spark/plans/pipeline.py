@@ -174,7 +174,21 @@ def run_batch(
     # cached/shuffled dataset beat two source scans)
     built.persist()
     try:
-        append_to_sink(good, catalog, "sink", cfg.sink_partitions)
+        # skew knob (SURVEY.md §4 item 1): salt_buckets > 0 spreads a
+        # hot sink over that many writers (stable-column salt inside
+        # append_to_sink); it needs an explicit repartition, so default
+        # the partition count to the cluster parallelism when unset
+        parts = cfg.sink_partitions
+        if cfg.salt_buckets > 0 and parts == 0:
+            parts = spark.sparkContext.defaultParallelism
+        append_to_sink(
+            good,
+            catalog,
+            "sink",
+            parts,
+            writers_per_sink=max(1, cfg.salt_buckets),
+            target_file_size_bytes=cfg.target_file_size_bytes,
+        )
         dlq_out = dlq.withColumn(INDEX_KEY, F.lit("dlq"))
         append_to_sink(dlq_out, catalog, "dlq")
 

@@ -409,6 +409,27 @@ FROM batch b LEFT JOIN existing e USING (_id) GROUP BY 1"""
 )
 
 
+def q_pipeline_meta(spark, sf_dir):
+    """Bulk-meta ``pipeline`` field with placeholder expansion
+    (meta["pipeline"], out_opensearch.rb:153,835-840,1027-1029):
+    per-_pipeline routed counts through the full build()."""
+    cfg = PipelineConfig(
+        logstash_format=True, logstash_prefix="logs", pipeline="pl-${tag}-%Y.%m"
+    )
+    built = build(_t(spark, sf_dir), cfg, spark)
+    return built.groupBy(F.col("_pipeline").alias("pipeline")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
+O_PIPELINE_META = (
+    ORACLE_PREFIX
+    + """
+SELECT concat('pl-transcripts-', strftime(ts, '%Y.%m')) AS pipeline, count(*) AS n
+FROM transcripts GROUP BY 1"""
+)
+
+
 def q_retry_union(spark, sf_dir):
     """O3/R8: retry-stream union under retry_tag."""
     t = _t(spark, sf_dir)
@@ -1013,11 +1034,40 @@ def q_ivf_topk(spark, sf_dir):
 
 
 def q_multimodal_features(spark, sf_dir):
+    """Multimodal mapInPandas plumbing, oracle-checked end to end: the
+    typed metadata (pure modular arithmetic of the id) AND the decoded
+    feature vector, verified via an integer-exact position-weighted
+    checksum (feature[i] = payload_byte[i]/255 in float32; round(x*255)
+    recovers the byte exactly, so the checksum is engine-portable)."""
     from ..operators.multimodal import extract_features, synth_assets
 
-    return extract_features(synth_assets(spark, 64)).select(
-        "asset_id", "media_type", "width", "height", "n_frames"
+    feats = extract_features(synth_assets(spark, 64))
+    chk = F.aggregate(
+        F.zip_with(
+            F.col("feature"),
+            F.sequence(F.lit(1), F.size("feature")),
+            lambda x, i: F.round(x.cast("double") * 255).cast("bigint") * i.cast("bigint"),
+        ),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
     )
+    return feats.select(
+        "asset_id", "media_type", "width", "height", "n_frames", chk.alias("feature_chk")
+    )
+
+
+O_MULTIMODAL = """
+WITH ids AS (SELECT range AS asset_id FROM range(64)),
+s AS (SELECT asset_id,
+             'PAYLOAD:' || sha256(CAST(asset_id AS VARCHAR)) AS payload FROM ids)
+SELECT asset_id,
+  ['image', 'audio', 'video'][CAST(asset_id % 3 AS INT) + 1] AS media_type,
+  CAST(asset_id % 640 + 16 AS INT) AS width,
+  CAST(asset_id % 480 + 16 AS INT) AS height,
+  CAST(asset_id % 30 + 1 AS INT) AS n_frames,
+  CAST(list_sum(list_transform(range(16),
+       i -> ord(substr(payload, CAST(i AS INT) + 1, 1)) * (i + 1))) AS BIGINT) AS feature_chk
+FROM s"""
 
 
 # ---------------------------------------------------------------------------
@@ -1039,6 +1089,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "error_taxonomy": q_error_taxonomy,
     "affinity_routing": q_affinity_routing,
     "affinity_e2e": q_affinity_e2e,
+    "pipeline_meta": q_pipeline_meta,
     "retry_union": q_retry_union,
     "per_conv_stats": q_per_conv_stats,
     "conv_gaps": q_conv_gaps,
@@ -1089,6 +1140,7 @@ ORACLES: dict[str, str] = {
     "error_taxonomy": O_ERROR_TAXONOMY,
     "affinity_routing": O_AFFINITY,
     "affinity_e2e": O_AFFINITY_E2E,
+    "pipeline_meta": O_PIPELINE_META,
     "retry_union": O_RETRY_UNION,
     "per_conv_stats": O_PER_CONV,
     "conv_gaps": O_CONV_GAPS,
@@ -1116,4 +1168,5 @@ ORACLES: dict[str, str] = {
     "rollup_cascade": O_ROLLUP,
     "minhash_md5_pairs": O_MINHASH_MD5,
     "dedup_clusters": O_DEDUP_CLUSTERS,
+    "multimodal_features": O_MULTIMODAL,
 }

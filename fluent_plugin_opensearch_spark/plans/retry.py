@@ -97,11 +97,22 @@ def run_with_retries(
             break
         totals["attempts"] = attempt + 1
         classified = respond(current, attempt)
+        # materialize the NEXT attempt's rows from the same evaluation
+        # of `classified` that fanout writes (localCheckpoint is eager
+        # and the persist below makes both reads share one execution):
+        # a nondeterministic respond (real bulk responses) must not be
+        # re-run lazily, or the retried row set could diverge from what
+        # was already routed to sink/DLQ (ADVICE r1).
+        classified.persist()
+        current = (
+            classified.filter(F.col("outcome") == OUTCOME_RETRY)
+            .drop("outcome")
+            .localCheckpoint()
+        )
         stats = fanout_by_outcome(classified, catalog, cfg)
         totals["success"] += stats.get("success", 0)
         totals["duplicate"] += stats.get("duplicate", 0)
         totals["dlq"] += stats.get("dlq", 0)
-        current = classified.filter(F.col("outcome") == OUTCOME_RETRY).drop("outcome")
         if backoff_base_s and stats.get("retry", 0):
             time.sleep(min(backoff_base_s * (2**attempt), 60.0))
     else:

@@ -93,4 +93,10 @@ def test_random_id_shape(spark):
     rows = add_hash_id(df, cfg).collect()
     vals = {r["_hash"] for r in rows}
     assert len(vals) == 2  # distinct
-    assert all(len(v) == 24 and v.endswith("==") for v in vals)  # b64 of 16 bytes
+    # Base64.strict_encode64(uuid STRING) parity: 36 chars → 48, no pad
+    import base64
+    import uuid
+
+    for v in vals:
+        assert len(v) == 48
+        assert str(uuid.UUID(base64.b64decode(v).decode()))  # round-trips as a UUID

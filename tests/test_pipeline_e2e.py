@@ -98,6 +98,37 @@ def test_affinity_config_wiring_e2e(spark, tmp_path):
     )
 
 
+def test_no_dead_config_knobs():
+    """Invariant (VERDICT r1): every PipelineConfig field must have a
+    consumer somewhere in the package — a frozen dataclass advertising
+    behavior the pipeline ignores is a correctness trap."""
+    import dataclasses
+    import pathlib
+
+    import fluent_plugin_opensearch_spark as pkg
+
+    root = pathlib.Path(pkg.__file__).parent
+    src = "\n".join(p.read_text() for p in root.rglob("*.py") if p.name != "config.py")
+    dead = [f.name for f in dataclasses.fields(PipelineConfig) if f.name not in src]
+    assert not dead, f"config knobs with no consumer: {dead}"
+
+
+def test_salt_buckets_spreads_hot_sink(spark, tmp_path):
+    """salt_buckets wiring: a single hot sink in run_batch fans out to
+    multiple writer files when the knob is set."""
+    import os
+
+    t = load_transcripts(spark, SF_SMOKE)
+    cfg = PipelineConfig(logstash_format=True, logstash_prefix="logs", salt_buckets=4)
+    cat = SinkCatalog(str(tmp_path / "wh_salt"))
+    run_batch(spark, t, cfg, cat, batch_id="s1")
+    m = cat.manifest("sink")
+    some_part = sorted(m["partitions"])[0]
+    d = os.path.join(cat.path("sink"), m["partitions"][some_part][0], f"_index={some_part}")
+    n_files = sum(1 for f in os.listdir(d) if f.endswith(".parquet"))
+    assert n_files > 1, "hot sink not spread across salted writers"
+
+
 def test_run_batch_and_resume(spark, tmp_path):
     cat = SinkCatalog(str(tmp_path / "warehouse"))
     manifest = CheckpointManifest(str(tmp_path / "manifest.json"))
