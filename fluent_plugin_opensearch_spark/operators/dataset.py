@@ -265,17 +265,25 @@ def simhash_neardup_pairs(
     text_col: str = "text",
     max_hamming: int = 8,
     n_bands: int = 4,
+    simhash_fn=None,
+    bits: int = 64,
 ) -> DataFrame:
-    """SimHash near-duplicate search: band the 64-bit simhash into
-    ``n_bands`` 16-bit blocks — any pair within Hamming distance
+    """SimHash near-duplicate search: band the ``bits``-bit simhash
+    into ``n_bands`` equal blocks — any pair within Hamming distance
     n_bands−1 shares at least one identical band (pigeonhole), so a
     band-equality self-join generates candidates without O(n²); then
     verify exact Hamming ≤ ``max_hamming`` via bit_count(xor).
+    With ``max_hamming ≤ n_bands − 1`` the candidate set is COMPLETE
+    (no recall loss) — that configuration is what the DuckDB oracle
+    checks against a brute-force Hamming join.
 
-    Same shuffle shape as the MinHash LSH plan: one band-keyed join.
+    ``simhash_fn`` picks the hash stage (default ``simhash64``;
+    ``simhash_md5`` for the engine-portable twin). Same shuffle shape
+    as the MinHash LSH plan: one band-keyed join.
     Returns (doc_a, doc_b, hamming).
     """
-    sims = simhash64(docs, id_col, text_col).persist()
+    sims = (simhash_fn or simhash64)(docs, id_col, text_col).persist()
+    block = bits // n_bands
     banded = sims.select(
         F.col(id_col),
         F.col("simhash"),
@@ -284,8 +292,8 @@ def simhash_neardup_pairs(
                 *[
                     F.struct(
                         F.lit(b).alias("band"),
-                        F.shiftright(F.col("simhash"), b * (64 // n_bands))
-                        .bitwiseAND(F.lit((1 << (64 // n_bands)) - 1))
+                        F.shiftright(F.col("simhash"), b * block)
+                        .bitwiseAND(F.lit((1 << block) - 1))
                         .alias("block"),
                     )
                     for b in range(n_bands)
@@ -311,6 +319,40 @@ def simhash_neardup_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .select("doc_a", "doc_b", "hamming")
     )
+
+
+def char_ngrams(text_col: str, n: int = 3):
+    """Distinct character n-grams as an array column (built-ins only);
+    texts shorter than ``n`` produce an empty array."""
+    col = F.col(text_col)
+    positions = F.sequence(F.lit(1), F.length(col) - (n - 1))
+    return F.when(
+        F.length(col) >= n,
+        F.array_distinct(F.transform(positions, lambda i: col.substr(i, F.lit(n)))),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    pairs: DataFrame,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Character n-gram Jaccard similarity for the given candidate
+    pairs (doc_a, doc_b) — the exact-verify stage any fuzzy-dedup
+    candidate generator (MinHash bands, SimHash blocks, blocking keys)
+    feeds into. Two broadcast-or-shuffle joins to attach the gram
+    sets, then pure array arithmetic — no UDF, no all-pairs work.
+    Returns (doc_a, doc_b, jaccard)."""
+    g = docs.select(F.col(id_col), char_ngrams(text_col, n).alias("grams"))
+    ga = g.select(F.col(id_col).alias("doc_a"), F.col("grams").alias("ga"))
+    gb = g.select(F.col(id_col).alias("doc_b"), F.col("grams").alias("gb"))
+    joined = pairs.join(ga, "doc_a").join(gb, "doc_b")
+    inter = F.size(F.array_intersect("ga", "gb")).cast("double")
+    union = F.size(F.array_union("ga", "gb")).cast("double")
+    jac = F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+    return joined.select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
 
 
 # ---------------------------------------------------------------------------

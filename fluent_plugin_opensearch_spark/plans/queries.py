@@ -994,6 +994,65 @@ pairs AS (
 O_MINHASH_MD5 = "WITH " + _minhash_md5_sql_ctes() + "\nSELECT doc_a, doc_b, jaccard FROM pairs"
 
 
+def q_simhash_neardup_md5(spark, sf_dir):
+    """SimHash banded near-dup, engine-portable twin: 32-bit md5
+    simhash, 4 bands of 8 bits, max_hamming = n_bands − 1 = 3 → the
+    banded candidate set is pigeonhole-COMPLETE, so the oracle can
+    verify against a brute-force Hamming join (bit_count(xor))."""
+    return DS.simhash_neardup_pairs(
+        _docs(spark, sf_dir),
+        max_hamming=3,
+        n_bands=4,
+        simhash_fn=lambda d, i, t: DS.simhash_md5(d, i, t, bits=32),
+        bits=32,
+    )
+
+
+O_SIMHASH_NEARDUP_MD5 = f"""
+WITH sims AS ({_simhash_oracle(32)})
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+FROM sims a JOIN sims b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 3"""
+
+
+def q_ngram_jaccard(spark, sf_dir):
+    """Character-3-gram Jaccard (the exact-verify stage for fuzzy-dedup
+    candidates) over a deterministic candidate set: (2k, 2k+1) doc
+    pairs."""
+    d = _docs(spark, sf_dir)
+    pairs = (
+        d.filter((F.col("doc_id") % 2 == 0) & F.col("text").isNotNull())
+        .select(F.col("doc_id").alias("doc_a"))
+        .join(
+            d.filter(F.col("text").isNotNull()).select(
+                (F.col("doc_id") - 1).alias("doc_a"), F.col("doc_id").alias("doc_b")
+            ),
+            "doc_a",
+        )
+    )
+    return DS.ngram_jaccard_pairs(d, pairs, n=3)
+
+
+O_NGRAM_JACCARD = r"""
+WITH g AS (
+  SELECT doc_id,
+    CASE WHEN length(text) >= 3
+         THEN list_distinct(list_transform(range(1, length(text) - 1),
+                                           i -> substr(text, CAST(i AS INT), 3)))
+         ELSE [] END AS grams
+  FROM documents WHERE text IS NOT NULL),
+p AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.grams AS ga, b.grams AS gb
+  FROM g a JOIN g b ON b.doc_id = a.doc_id + 1 AND a.doc_id % 2 = 0)
+SELECT doc_a, doc_b,
+  round(CASE WHEN len(list_distinct(list_concat(ga, gb))) > 0
+             THEN CAST(len(list_intersect(ga, gb)) AS DOUBLE)
+                  / len(list_distinct(list_concat(ga, gb)))
+             ELSE 0.0 END, 4) AS jaccard
+FROM p"""
+
+
 def q_dedup_clusters(spark, sf_dir):
     """Near-dup clusters over the portable minhash pairs: connected
     components via alternating large-star/small-star (the production
@@ -1116,6 +1175,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "duration_percentiles": q_duration_percentiles,
     "rollup_cascade": q_rollup_cascade,
     "minhash_md5_pairs": q_minhash_md5_pairs,
+    "simhash_neardup_md5": q_simhash_neardup_md5,
+    "ngram_jaccard": q_ngram_jaccard,
     "dedup_clusters": q_dedup_clusters,
     # rows-only checks (engine-specific hashing / pandas-UDF stages)
     "simhash_neardup": q_simhash_neardup,
@@ -1167,6 +1228,8 @@ ORACLES: dict[str, str] = {
     "duration_percentiles": O_DURATION_PCT,
     "rollup_cascade": O_ROLLUP,
     "minhash_md5_pairs": O_MINHASH_MD5,
+    "simhash_neardup_md5": O_SIMHASH_NEARDUP_MD5,
+    "ngram_jaccard": O_NGRAM_JACCARD,
     "dedup_clusters": O_DEDUP_CLUSTERS,
     "multimodal_features": O_MULTIMODAL,
 }
