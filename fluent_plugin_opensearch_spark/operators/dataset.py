@@ -393,6 +393,21 @@ def cosine_topk(
     )
 
 
+def xxhash_direction(i, j: int):
+    """Default sign-LSH hyperplane component: xxhash64(dim, plane)
+    parity scaled to ±1 — cheap, deterministic, model-free."""
+    return F.pmod(F.xxhash64(i, F.lit(j)), F.lit(2)).cast("double") * 2.0 - 1.0
+
+
+def md5_direction(i, j: int):
+    """Engine-portable hyperplane component: md5 first-byte parity of
+    'dim#plane' — reproducible in DuckDB for the oracle twin."""
+    h = F.conv(
+        F.substring(F.md5(F.concat(i.cast("string"), F.lit(f"#{j}"))), 1, 2), 16, 10
+    ).cast("int")
+    return F.pmod(h, F.lit(2)).cast("double") * 2.0 - 1.0
+
+
 def ivf_topk(
     emb: DataFrame,
     query_ids: list[int],
@@ -400,6 +415,7 @@ def ivf_topk(
     n_probe_bits: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    direction_fn=None,
 ) -> DataFrame:
     """LSH-bucketed ANN (the scale path): corpus and queries are
     sign-hashed on ``n_probe_bits`` random hyperplanes (deterministic
@@ -411,6 +427,7 @@ def ivf_topk(
     id is computable by both the corpus scan and the query side without
     a trained model artifact.
     """
+    direction_fn = direction_fn or xxhash_direction
     v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     base = emb.select(F.col(id_col), v.alias("v"))
 
@@ -420,8 +437,7 @@ def ivf_topk(
                 F.zip_with(
                     col,
                     F.sequence(F.lit(0), F.size(col) - 1),
-                    lambda x, i: x
-                    * (F.pmod(F.xxhash64(i, F.lit(j)), F.lit(2)).cast("double") * 2.0 - 1.0),
+                    lambda x, i: x * direction_fn(i, j),
                 ),
                 F.lit(0.0),
                 lambda acc, x: acc + x,

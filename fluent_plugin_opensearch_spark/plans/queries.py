@@ -1092,6 +1092,47 @@ def q_ivf_topk(spark, sf_dir):
     return DS.ivf_topk(_emb(spark, sf_dir), query_ids=[0, 1, 2, 3, 4], k=10)
 
 
+def q_ivf_topk_md5(spark, sf_dir):
+    """IVF/sign-LSH ANN, engine-portable twin: md5-parity hyperplanes
+    so DuckDB reproduces bucket assignment, multi-probe candidate set
+    and final cosine ranks exactly."""
+    return DS.ivf_topk(
+        _emb(spark, sf_dir),
+        query_ids=[0, 1, 2, 3, 4],
+        k=10,
+        n_probe_bits=4,
+        direction_fn=DS.md5_direction,
+    )
+
+
+def _ivf_md5_bucket_sql(n_bits: int = 4) -> str:
+    bits = " + ".join(
+        f"""(CASE WHEN list_sum(list_transform(range(len(v)),
+            i -> v[CAST(i AS INT) + 1] *
+                 ((('0x' || substr(md5(i || '#{j}'), 1, 2))::INT % 2) * 2 - 1))) > 0
+          THEN {1 << j} ELSE 0 END)"""
+        for j in range(n_bits)
+    )
+    return bits
+
+
+O_IVF_TOPK_MD5 = f"""
+WITH base AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+b AS (
+  SELECT vec_id, v, {_ivf_md5_bucket_sql(4)} AS bucket FROM base),
+q AS (SELECT vec_id AS q_id, v AS qv, bucket AS qb FROM b WHERE vec_id < 5),
+probes AS (
+  SELECT q_id, qv, unnest([qb, xor(qb, 1), xor(qb, 2), xor(qb, 4), xor(qb, 8)]) AS pb
+  FROM q),
+pairs AS (
+  SELECT p.q_id, e.vec_id AS neighbor_id, list_cosine_similarity(e.v, p.qv) AS sim
+  FROM b e JOIN probes p ON e.bucket = p.pb WHERE e.vec_id != p.q_id)
+SELECT q_id, neighbor_id,
+       CAST(row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, neighbor_id) AS INT) AS rank
+FROM pairs QUALIFY rank <= 10"""
+
+
 def q_multimodal_features(spark, sf_dir):
     """Multimodal mapInPandas plumbing, oracle-checked end to end: the
     typed metadata (pure modular arithmetic of the id) AND the decoded
@@ -1183,6 +1224,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
     "simhash64": q_simhash,
     "ivf_topk": q_ivf_topk,
+    "ivf_topk_md5": q_ivf_topk_md5,
     "multimodal_features": q_multimodal_features,
 }
 
@@ -1230,6 +1272,7 @@ ORACLES: dict[str, str] = {
     "minhash_md5_pairs": O_MINHASH_MD5,
     "simhash_neardup_md5": O_SIMHASH_NEARDUP_MD5,
     "ngram_jaccard": O_NGRAM_JACCARD,
+    "ivf_topk_md5": O_IVF_TOPK_MD5,
     "dedup_clusters": O_DEDUP_CLUSTERS,
     "multimodal_features": O_MULTIMODAL,
 }
