@@ -149,6 +149,32 @@ class SinkCatalog:
             out = df if out is None else out.unionByName(df, allowMissingColumns=True)
         return out
 
+    def compact(
+        self, spark: SparkSession, table: str, max_versions: int = 1
+    ) -> int:
+        """Small-file/read-amplification maintenance (the Iceberg
+        ``rewrite_data_files`` analog): every partition referenced by
+        MORE than ``max_versions`` version dirs is rewritten into one
+        fresh version and re-pointed in a single atomic commit. At
+        10^12 rows this is the periodic job that keeps steady appends
+        from degrading scan fan-in; untouched (already-compact)
+        partitions are not rewritten. Returns the number of partitions
+        compacted."""
+        m = self.manifest(table)
+        frag = sorted(p for p, vs in m["partitions"].items() if len(vs) > max_versions)
+        if not frag:
+            return 0
+        current = self.read(spark, table)
+        subset = current.filter(F.col(INDEX_KEY).isin(frag))
+        version = m["current_version"] + 1
+        vdir = os.path.join(self.path(table), f"v_{version:06d}")
+        subset.write.mode("overwrite").partitionBy(INDEX_KEY).parquet(vdir)
+        staged = _staged_partitions(vdir)
+        self.commit(table, version, staged, replace=True,
+                    removed=tuple(sorted(set(frag) - set(staged))))
+        self.vacuum(table)
+        return len(frag)
+
     def vacuum(self, table: str) -> list[str]:
         """Delete version dirs no partition references (post-merge GC).
         Safe at any time: the manifest is the source of truth."""

@@ -42,6 +42,11 @@ def parse_args(argv: list[str]) -> argparse.Namespace:
     p.add_argument("--retry-tag", default=None)
     p.add_argument("--salt-buckets", type=int, default=0)
     p.add_argument("--sink-partitions", type=int, default=0)
+    p.add_argument(
+        "--compact-after",
+        action="store_true",
+        help="run sink compaction (collapse multi-version partitions) after the batch",
+    )
     p.add_argument("--streaming", action="store_true")
     p.add_argument("--checkpoint", default=None, help="streaming checkpoint dir")
     p.add_argument(
@@ -98,6 +103,8 @@ def main(argv: list[str]) -> None:
     )
     manifest = CheckpointManifest(args.manifest) if args.manifest else None
     metrics = run_batch(spark, transcripts, cfg, catalog, batch_id=args.batch_id, manifest=manifest)
+    if args.compact_after:
+        metrics["compacted_partitions"] = catalog.compact(spark, "sink")
     print(json.dumps(metrics))
 
 

@@ -161,6 +161,31 @@ def test_merge_moves_id_across_partitions(spark, tmp_path):
     assert "i-old" not in cat.manifest("sink")["partitions"]
 
 
+def test_compact_collapses_append_versions(spark, tmp_path):
+    """Maintenance: repeated appends accumulate version dirs per
+    partition; compact() rewrites fragmented partitions into one
+    version (atomic commit + vacuum) without changing the data."""
+    cat = SinkCatalog(str(tmp_path))
+    for k in range(3):
+        append_to_sink(_df(spark, [(f"a{k}", "i1", k), (f"b{k}", "i2", k)]), cat, "sink")
+    before = {(r["_id"], r["_index"], r["v"]) for r in cat.read(spark, "sink").collect()}
+    m = cat.manifest("sink")
+    assert len(m["partitions"]["i1"]) == 3
+    n = cat.compact(spark, "sink")
+    assert n == 2
+    m2 = cat.manifest("sink")
+    assert len(m2["partitions"]["i1"]) == 1 and len(m2["partitions"]["i2"]) == 1
+    after = {(r["_id"], r["_index"], r["v"]) for r in cat.read(spark, "sink").collect()}
+    assert after == before
+    # idempotent: nothing left to compact; orphans vacuumed
+    assert cat.compact(spark, "sink") == 0
+    import os
+
+    live = {v for vs in m2["partitions"].values() for v in vs}
+    on_disk = {d for d in os.listdir(cat.path("sink")) if d.startswith("v_")}
+    assert on_disk == live
+
+
 def test_target_file_size_bounds_files(spark, tmp_path):
     """R7 knob wiring: a tiny target_file_size_bytes forces multiple
     files per partition via maxRecordsPerFile."""
