@@ -1133,6 +1133,17 @@ SELECT q_id, neighbor_id,
 FROM pairs QUALIFY rank <= 10"""
 
 
+def q_approx_sink_profile(spark, sf_dir):
+    """Per-sink approximate monitoring profile (HLL distinct convs +
+    approx p95 turn) — rows-only: the sketch estimators are
+    engine-specific; exact twins of these metrics are covered by
+    route_logstash_counts / per_conv_stats / duration_percentiles."""
+    from .metrics import approx_sink_profile
+
+    good, _ = split_streams(build(_t(spark, sf_dir), CFG, spark), CFG)
+    return approx_sink_profile(good)
+
+
 def q_multimodal_features(spark, sf_dir):
     """Multimodal mapInPandas plumbing, oracle-checked end to end: the
     typed metadata (pure modular arithmetic of the id) AND the decoded
@@ -1225,6 +1236,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "simhash64": q_simhash,
     "ivf_topk": q_ivf_topk,
     "ivf_topk_md5": q_ivf_topk_md5,
+    "approx_sink_profile": q_approx_sink_profile,
     "multimodal_features": q_multimodal_features,
 }
 

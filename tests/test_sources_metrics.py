@@ -80,3 +80,23 @@ def test_per_record_update_exclusion(spark, tmp_path):
     rows = {r["_id"]: (r["a"], r["b"]) for r in cat.read(spark, "sink").collect()}
     # x excluded 'b' for its own row; y excluded nothing
     assert rows == {"x": (100, 10), "y": (200, 888)}
+
+
+def test_heavy_hitter_sketch_and_profile(spark):
+    """Approximate monitoring primitives: count-min sketch (one-pass,
+    mergeable, overestimates only) + per-sink HLL/quantile profile."""
+    from fluent_plugin_opensearch_spark.plans.metrics import (
+        approx_sink_profile,
+        heavy_hitter_sketch,
+    )
+
+    df = spark.createDataFrame(
+        [("hot", i % 7, "i1") for i in range(2000)] + [("cold", 0, "i2")],
+        "conv_id string, turn_idx int, _index string",
+    )
+    sk = heavy_hitter_sketch(df, "conv_id")
+    assert sk.estimateCount("hot") >= 2000  # CMS never undercounts
+    assert sk.estimateCount("cold") >= 1
+    prof = {r["_index"]: r for r in approx_sink_profile(df).collect()}
+    assert prof["i1"]["rows"] == 2000 and prof["i1"]["approx_convs"] == 1
+    assert prof["i2"]["rows"] == 1 and prof["i2"]["approx_convs"] == 1
