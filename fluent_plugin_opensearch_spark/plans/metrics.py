@@ -9,6 +9,16 @@ from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 
 
+def count_min_sketch_col(
+    col: str, eps: float = 0.001, confidence: float = 0.99, seed: int = 42
+):
+    """The ``count_min_sketch`` aggregate column (binary, map-side
+    partial, MERGEABLE across batches/partitions) — ship it to a
+    monitoring store and merge across micro-batches; size is
+    O(depth×width) regardless of input cardinality."""
+    return F.count_min_sketch(F.col(col), F.lit(eps), F.lit(confidence), F.lit(seed))
+
+
 def heavy_hitter_sketch(
     df: DataFrame,
     col: str = "conv_id",
@@ -16,13 +26,14 @@ def heavy_hitter_sketch(
     confidence: float = 0.99,
     seed: int = 42,
 ):
-    """Count-min sketch over a key column (`df.stat.countMinSketch`,
-    JVM-side, one pass, mergeable across partitions) — the monitoring
-    primitive for "which conversations/sinks are hot RIGHT NOW"
-    without a groupBy shuffle. Width/depth derive from eps/confidence;
-    at 10^12 rows the sketch stays a few MB regardless of cardinality.
-    Returns the sketch object (``.estimateCount(value)``)."""
-    return df.stat.countMinSketch(col, eps=eps, confidence=confidence, seed=seed)
+    """Count-min sketch over a key column — the monitoring primitive
+    for "which conversations/sinks are hot RIGHT NOW" without a
+    groupBy shuffle: one pass, map-side combine, a few MB at any
+    cardinality. Returns the deserialized JVM sketch
+    (``.estimateCount(value)``, ``.mergeInPlace(other)``)."""
+    row = df.agg(count_min_sketch_col(col, eps, confidence, seed).alias("sk")).head()
+    jvm = df.sparkSession._jvm
+    return jvm.org.apache.spark.util.sketch.CountMinSketch.readFrom(bytes(row["sk"]))
 
 
 def approx_sink_profile(df: DataFrame, rsd: float = 0.02) -> DataFrame:
