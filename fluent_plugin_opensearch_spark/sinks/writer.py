@@ -107,12 +107,17 @@ class SinkCatalog:
         touched: list[str],
         replace: bool,
         removed: tuple[str, ...] = (),
+        marker: str | None = None,
     ) -> None:
         """Flip the manifest: ``replace=False`` appends the new version
         to each touched partition's dir list; ``replace=True`` makes it
         the partition's ONLY version (a merge rewrite); ``removed``
-        partitions are dropped entirely (every doc moved away). One
-        atomic ``os.replace`` — the whole commit."""
+        partitions are dropped entirely (every doc moved away).
+        ``marker`` records an idempotence token (e.g. a streaming
+        micro-batch id) IN THE SAME atomic flip — data and marker
+        commit together or not at all, which is what makes foreachBatch
+        re-deliveries exactly-once (see ``has_marker``). One atomic
+        ``os.replace`` — the whole commit."""
         m = self.manifest(table)
         vname = f"v_{version:06d}"
         for part in touched:
@@ -122,6 +127,8 @@ class SinkCatalog:
                 m["partitions"][part] = m["partitions"].get(part, []) + [vname]
         for part in removed:
             m["partitions"].pop(part, None)
+        if marker is not None:
+            m["markers"] = sorted(set(m.get("markers", [])) | {marker})
         m["current_version"] = version
         self.ensure(table)
         tmp = self._manifest_path(table) + ".tmp"
@@ -148,6 +155,14 @@ class SinkCatalog:
             df = spark.read.option("basePath", base).parquet(*paths)
             out = df if out is None else out.unionByName(df, allowMissingColumns=True)
         return out
+
+    def has_marker(self, table: str, marker: str) -> bool:
+        """True if an idempotence token was already committed — the
+        foreachBatch exactly-once check: Spark re-delivers a
+        micro-batch after failures (at-least-once), and the marker
+        (committed atomically WITH the data) lets the writer skip the
+        duplicate delivery."""
+        return marker in self.manifest(table).get("markers", [])
 
     def compact(
         self, spark: SparkSession, table: str, max_versions: int = 1
@@ -204,7 +219,8 @@ def append_to_sink(
     sink_partitions: int = 0,
     writers_per_sink: int = 1,
     target_file_size_bytes: int = 0,
-) -> None:
+    marker: str | None = None,
+) -> bool:
     """S6/S7: the bulk append — ``partitionBy(_index)`` fans rows out
     to per-sink directories in one job (data-stream mode S7 is exactly
     this, append-only). The write stages an immutable version dir and
@@ -231,8 +247,16 @@ def append_to_sink(
     ``write.target-file-size-bytes`` analog) bounds output file size
     via ``maxRecordsPerFile`` using a schema-width row estimate — the
     request-splitting knob re-expressed declaratively.
+
+    ``marker`` makes the append idempotent: if the token was already
+    committed the write is skipped entirely (returns False), else the
+    token commits atomically with the data — the exactly-once pattern
+    for foreachBatch re-deliveries. Returns True when data was
+    written.
     """
     catalog.ensure(table)
+    if marker is not None and catalog.has_marker(table, marker):
+        return False
     out = df
     if sink_partitions > 0:
         if writers_per_sink > 1:
@@ -253,7 +277,8 @@ def append_to_sink(
         )
     version, vdir = catalog.stage(table)
     writer.parquet(vdir)
-    catalog.commit(table, version, _staged_partitions(vdir), replace=False)
+    catalog.commit(table, version, _staged_partitions(vdir), replace=False, marker=marker)
+    return True
 
 
 def _estimate_row_bytes(df: DataFrame) -> int:

@@ -48,25 +48,46 @@ def start_pipeline_stream(
     checkpoint_dir: str,
     available_now: bool = True,
     processing_time: str = "60 seconds",
+    compact_every: int = 50,
 ):
     """readStream → foreachBatch(batch pipeline) → per-sink fan-out.
 
     ``processing_time`` defaults to the reference's 60 s flush_interval
     (README.md:959). availableNow drains the backlog then stops — the
     batch-like mode used in tests.
+
+    Exactly-once: Spark's foreachBatch contract is at-least-once (a
+    failed epoch re-delivers the same batch_id), so each micro-batch
+    commits under an idempotence marker recorded in the SAME atomic
+    manifest flip as its data — a re-delivered batch is skipped, never
+    double-appended.
+
+    ``compact_every`` bounds read fan-in on a long-running stream:
+    every append adds one version dir per touched partition, so after
+    N micro-batches a reader unions N versions — periodic compaction
+    (the Iceberg rewrite_data_files analog) collapses them. 0 disables.
     """
     metrics: list[dict] = []
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         built = build(batch_df, cfg, spark)
         good, dlq = split_streams(built, cfg)
-        append_to_sink(good, catalog, "sink", cfg.sink_partitions)
-        append_to_sink(dlq.withColumn("_index", F.lit("dlq")), catalog, "dlq")
+        wrote = append_to_sink(
+            good, catalog, "sink", cfg.sink_partitions, marker=f"stream-{batch_id}"
+        )
+        if not wrote:
+            return  # re-delivered epoch: already committed
+        append_to_sink(
+            dlq.withColumn("_index", F.lit("dlq")), catalog, "dlq", marker=f"stream-{batch_id}"
+        )
         counts = {
             r["_index"]: r["routed_rows"]
             for r in good.groupBy("_index").agg(F.count(F.lit(1)).alias("routed_rows")).collect()
         }
         metrics.append({"batch_id": batch_id, "per_sink": counts})
+        if compact_every and batch_id > 0 and batch_id % compact_every == 0:
+            catalog.compact(spark, "sink")
+            catalog.compact(spark, "dlq")
 
     writer = source.writeStream.foreachBatch(process).option("checkpointLocation", checkpoint_dir)
     if available_now:

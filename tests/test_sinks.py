@@ -199,3 +199,16 @@ def test_target_file_size_bounds_files(spark, tmp_path):
     n_files = sum(1 for f in os.listdir(d) if f.endswith(".parquet"))
     assert n_files > 1
     assert cat.read(spark, "sink").count() == 1000
+
+
+def test_append_marker_is_exactly_once(spark, tmp_path):
+    """foreachBatch exactly-once: an append committed under an
+    idempotence marker is skipped on re-delivery (marker commits in
+    the same atomic manifest flip as the data)."""
+    cat = SinkCatalog(str(tmp_path))
+    df = _df(spark, [("a", "i1", 1)])
+    assert append_to_sink(df, cat, "sink", marker="b0") is True
+    assert append_to_sink(df, cat, "sink", marker="b0") is False  # re-delivery
+    assert cat.read(spark, "sink").count() == 1
+    assert append_to_sink(df, cat, "sink", marker="b1") is True
+    assert cat.read(spark, "sink").count() == 2
