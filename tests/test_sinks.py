@@ -128,10 +128,10 @@ def test_merge_crash_before_flip_preserves_snapshot(spark, tmp_path, monkeypatch
 
     real_commit = SinkCatalog.commit
 
-    def dying_commit(self, table, version, touched, replace, removed=()):
+    def dying_commit(self, table, version, touched, replace, **kw):
         if replace:
             raise RuntimeError("simulated crash before manifest flip")
-        return real_commit(self, table, version, touched, replace, removed)
+        return real_commit(self, table, version, touched, replace, **kw)
 
     monkeypatch.setattr(SinkCatalog, "commit", dying_commit)
     with pytest.raises(RuntimeError, match="simulated crash"):
