@@ -345,7 +345,7 @@ def ngram_jaccard_pairs(
     feeds into. Two broadcast-or-shuffle joins to attach the gram
     sets, then pure array arithmetic — no UDF, no all-pairs work.
     Returns (doc_a, doc_b, jaccard)."""
-    g = docs.select(F.col(id_col), char_ngrams(text_col, n).alias("grams"))
+    g = _ensure_parallelism(docs).select(F.col(id_col), char_ngrams(text_col, n).alias("grams"))
     ga = g.select(F.col(id_col).alias("doc_a"), F.col("grams").alias("ga"))
     gb = g.select(F.col(id_col).alias("doc_b"), F.col("grams").alias("gb"))
     joined = pairs.join(ga, "doc_a").join(gb, "doc_b")

@@ -166,7 +166,11 @@ def run_batch(
 
     built = build(transcripts, cfg, spark)
     good, dlq = split_streams(built, cfg)
-    good = apply_affinity(good, cfg, sink_id_state(spark, catalog, cfg))
+    # gate BEFORE building the lookup — sink_id_state lists/reads the
+    # sink's version dirs eagerly, a cost non-affinity batches must
+    # not pay
+    if affinity_enabled(cfg):
+        good = apply_affinity(good, cfg, sink_id_state(spark, catalog, cfg))
     good = inject_chunk_id(good)
 
     # one pass over the input feeds both sides; cache the narrow built

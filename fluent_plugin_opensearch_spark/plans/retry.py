@@ -96,19 +96,15 @@ def run_with_retries(
         if current.limit(1).count() == 0:
             break
         totals["attempts"] = attempt + 1
-        classified = respond(current, attempt)
-        # materialize the NEXT attempt's rows from the same evaluation
-        # of `classified` that fanout writes (localCheckpoint is eager
-        # and the persist below makes both reads share one execution):
-        # a nondeterministic respond (real bulk responses) must not be
-        # re-run lazily, or the retried row set could diverge from what
-        # was already routed to sink/DLQ (ADVICE r1).
-        classified.persist()
-        current = (
-            classified.filter(F.col("outcome") == OUTCOME_RETRY)
-            .drop("outcome")
-            .localCheckpoint()
-        )
+        # materialize the classification itself (localCheckpoint is
+        # eager and replicated): a nondeterministic respond (real bulk
+        # responses) must never be lazily re-executed — not by the
+        # next attempt, and not by a lost cached block during the
+        # fanout writes — or the routed/retried row sets could diverge
+        # (ADVICE r1). Everything downstream derives from the frozen
+        # frame.
+        classified = respond(current, attempt).localCheckpoint()
+        current = classified.filter(F.col("outcome") == OUTCOME_RETRY).drop("outcome")
         stats = fanout_by_outcome(classified, catalog, cfg)
         totals["success"] += stats.get("success", 0)
         totals["duplicate"] += stats.get("duplicate", 0)

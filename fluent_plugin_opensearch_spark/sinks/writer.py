@@ -39,6 +39,24 @@ from ..constants import ID_KEY, INDEX_KEY, OP_CREATE, OP_INDEX, OP_UPDATE, OP_UP
 
 _MANIFEST = "_manifest.json"
 
+#: chars Hive/Spark escape in partition directory names
+#: (ExternalCatalogUtils.charToEscape) — the manifest stores RAW
+#: partition VALUES; these helpers convert at the dir-name boundary so
+#: comparisons against the `_index` column are never escaped-vs-raw.
+_ESCAPE_CHARS = set('"#%\'*/:=?\\\x7f{[]^')
+
+
+def _escape_part(value: str) -> str:
+    return "".join(
+        f"%{ord(c):02X}" if c in _ESCAPE_CHARS or ord(c) < 32 else c for c in value
+    )
+
+
+def _unescape_part(dirname: str) -> str:
+    from urllib.parse import unquote
+
+    return unquote(dirname)
+
 
 @dataclass
 class SinkCatalog:
@@ -90,6 +108,19 @@ class SinkCatalog:
         if os.path.exists(p):
             with open(p) as f:
                 return json.load(f)
+        # legacy (pre-manifest) layout: partition dirs at the table
+        # root — surface them as a read-only pseudo-version "." so old
+        # tables stay fully visible; the first commit persists this
+        # view and compact() migrates the data into real version dirs
+        root = self.path(table)
+        if os.path.isdir(root):
+            legacy = sorted(
+                _unescape_part(d.split("=", 1)[1])
+                for d in os.listdir(root)
+                if d.startswith(INDEX_KEY + "=")
+            )
+            if legacy:
+                return {"current_version": 0, "partitions": {p_: ["."] for p_ in legacy}}
         return {"current_version": 0, "partitions": {}}
 
     def exists(self, table: str) -> bool:
@@ -151,7 +182,9 @@ class SinkCatalog:
         out = None
         for v, parts in sorted(by_version.items()):
             base = os.path.join(self.path(table), v)
-            paths = [os.path.join(base, f"{INDEX_KEY}={p}") for p in sorted(parts)]
+            paths = [
+                os.path.join(base, f"{INDEX_KEY}={_escape_part(p)}") for p in sorted(parts)
+            ]
             df = spark.read.option("basePath", base).parquet(*paths)
             out = df if out is None else out.unionByName(df, allowMissingColumns=True)
         return out
@@ -176,7 +209,9 @@ class SinkCatalog:
         partitions are not rewritten. Returns the number of partitions
         compacted."""
         m = self.manifest(table)
-        frag = sorted(p for p, vs in m["partitions"].items() if len(vs) > max_versions)
+        frag = sorted(
+            p for p, vs in m["partitions"].items() if len(vs) > max_versions or "." in vs
+        )
         if not frag:
             return 0
         current = self.read(spark, table)
@@ -203,12 +238,27 @@ class SinkCatalog:
             if d.startswith("v_") and d not in live:
                 shutil.rmtree(os.path.join(root, d))
                 removed.append(d)
+            # legacy root-level partition dirs, once migrated off the
+            # "." pseudo-version by compact(), are garbage too — but
+            # ONLY when a manifest file exists (never infer-and-delete)
+            elif (
+                d.startswith(INDEX_KEY + "=")
+                and "." not in live
+                and os.path.exists(self._manifest_path(table))
+            ):
+                shutil.rmtree(os.path.join(root, d))
+                removed.append(d)
         return removed
 
 
 def _staged_partitions(vdir: str) -> list[str]:
+    """RAW partition values staged in a version dir (dir names are
+    Hive-escaped; the manifest and all `_index` comparisons use raw
+    values)."""
     return sorted(
-        d.split("=", 1)[1] for d in os.listdir(vdir) if d.startswith(INDEX_KEY + "=")
+        _unescape_part(d.split("=", 1)[1])
+        for d in os.listdir(vdir)
+        if d.startswith(INDEX_KEY + "=")
     )
 
 

@@ -72,19 +72,32 @@ def start_pipeline_stream(
     def process(batch_df: DataFrame, batch_id: int) -> None:
         built = build(batch_df, cfg, spark)
         good, dlq = split_streams(built, cfg)
-        wrote = append_to_sink(
-            good, catalog, "sink", cfg.sink_partitions, marker=f"stream-{batch_id}"
-        )
-        if not wrote:
-            return  # re-delivered epoch: already committed
-        append_to_sink(
-            dlq.withColumn("_index", F.lit("dlq")), catalog, "dlq", marker=f"stream-{batch_id}"
-        )
-        counts = {
-            r["_index"]: r["routed_rows"]
-            for r in good.groupBy("_index").agg(F.count(F.lit(1)).alias("routed_rows")).collect()
-        }
-        metrics.append({"batch_id": batch_id, "per_sink": counts})
+        # one cached evaluation feeds both appends + the counts
+        # (run_batch does the same; without it each read rescans the
+        # source through the whole build plan)
+        built.persist()
+        try:
+            marker = f"stream-{batch_id}"
+            # markers are PER TABLE: a crash between the two commits
+            # re-delivers the batch and each table independently skips
+            # or completes its own append — neither loses rows nor
+            # double-appends (the sink-committed/dlq-pending window)
+            wrote_good = append_to_sink(
+                good, catalog, "sink", cfg.sink_partitions, marker=marker
+            )
+            append_to_sink(
+                dlq.withColumn("_index", F.lit("dlq")), catalog, "dlq", marker=marker
+            )
+            if wrote_good:
+                counts = {
+                    r["_index"]: r["routed_rows"]
+                    for r in good.groupBy("_index")
+                    .agg(F.count(F.lit(1)).alias("routed_rows"))
+                    .collect()
+                }
+                metrics.append({"batch_id": batch_id, "per_sink": counts})
+        finally:
+            built.unpersist()
         if compact_every and batch_id > 0 and batch_id % compact_every == 0:
             catalog.compact(spark, "sink")
             catalog.compact(spark, "dlq")

@@ -90,6 +90,9 @@ def test_affinity_build_side_is_batch_bounded(spark):
     out.collect()  # executes; AQE finalizes the join strategy
     final = _plan(out)
     assert "BroadcastHashJoin" in final, final
+
+
+def test_parse_is_codegen_compiled(spark):
     from fluent_plugin_opensearch_spark.operators.parse import parse_text
 
     df = spark.createDataFrame([("x",)], "text string")

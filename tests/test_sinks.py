@@ -212,3 +212,38 @@ def test_append_marker_is_exactly_once(spark, tmp_path):
     assert cat.read(spark, "sink").count() == 1
     assert append_to_sink(df, cat, "sink", marker="b1") is True
     assert cat.read(spark, "sink").count() == 2
+
+
+def test_escapable_index_names_round_trip(spark, tmp_path):
+    """Partition values containing Hive-escaped chars (':' → %3A in
+    dir names) must survive merge/read/compact — the manifest stores
+    RAW values, dir names escape at the boundary."""
+    cat = SinkCatalog(str(tmp_path))
+    cfg = PipelineConfig(write_operation="upsert", id_key="_id")
+    merge_write(spark, _df(spark, [("a", "logs-app:v1", 1), ("b", "plain", 1)]), cat, cfg)
+    assert sorted(cat.manifest("sink")["partitions"]) == ["logs-app:v1", "plain"]
+    rows = {(r["_id"], r["_index"]) for r in cat.read(spark, "sink").select("_id", "_index").collect()}
+    assert rows == {("a", "logs-app:v1"), ("b", "plain")}
+    merge_write(spark, _df(spark, [("a", "logs-app:v1", 9)]), cat, cfg)
+    vals = {r["_id"]: r["v"] for r in cat.read(spark, "sink").collect()}
+    assert vals == {"a": 9, "b": 1}
+    assert cat.compact(spark, "sink") == 0  # already single-version
+    assert {r["_id"]: r["v"] for r in cat.read(spark, "sink").collect()} == {"a": 9, "b": 1}
+
+
+def test_legacy_flat_layout_visible_and_migratable(spark, tmp_path):
+    """A pre-manifest (r1 layout) table — partition dirs at the table
+    root — stays fully visible, accepts appends, and compact()
+    migrates it into version dirs with GC of the root dirs."""
+    import os
+
+    root = str(tmp_path / "sink")
+    _df(spark, [("a", "i1", 1), ("b", "i2", 2)]).write.partitionBy("_index").parquet(root)
+    cat = SinkCatalog(str(tmp_path))
+    assert cat.exists("sink")
+    assert cat.read(spark, "sink").count() == 2
+    append_to_sink(_df(spark, [("c", "i1", 3)]), cat, "sink")
+    assert cat.read(spark, "sink").count() == 3
+    assert cat.compact(spark, "sink") == 2  # both legacy partitions migrated
+    assert not any(d.startswith("_index=") for d in os.listdir(cat.path("sink")))
+    assert {r["_id"]: r["v"] for r in cat.read(spark, "sink").collect()} == {"a": 1, "b": 2, "c": 3}
