@@ -68,6 +68,13 @@ def start_pipeline_stream(
     (the Iceberg rewrite_data_files analog) collapses them. 0 disables.
     """
     metrics: list[dict] = []
+    # the idempotence scope is THIS stream (its checkpoint is its
+    # identity): batch ids restart at 0 for a fresh checkpoint, so a
+    # second stream into the same warehouse must not collide with the
+    # first stream's markers
+    import hashlib
+
+    stream_id = hashlib.md5(checkpoint_dir.encode()).hexdigest()[:8]
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         built = build(batch_df, cfg, spark)
@@ -77,7 +84,7 @@ def start_pipeline_stream(
         # source through the whole build plan)
         built.persist()
         try:
-            marker = f"stream-{batch_id}"
+            marker = f"stream-{stream_id}-{batch_id}"
             # markers are PER TABLE: a crash between the two commits
             # re-delivers the batch and each table independently skips
             # or completes its own append — neither loses rows nor

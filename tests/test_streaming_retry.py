@@ -221,3 +221,36 @@ def test_stateful_stream_sessionize(spark, tmp_path):
         for r in sessionize(src, gap_minutes=30).collect()
     }
     assert got == want and len(got) == n_rows and n_rows > 50
+
+
+def test_stream_resume_new_data_and_second_stream_markers(spark, tmp_path):
+    """Exactly-once scoping: resuming the SAME checkpoint processes
+    only new files; a SECOND stream (fresh checkpoint) into the same
+    warehouse is a different idempotence scope and must append, not be
+    skipped by the first stream's markers."""
+    from fluent_plugin_opensearch_spark import build, split_streams
+
+    t = load_transcripts(spark, SF_SMOKE)
+    half1 = t.filter(F.col("conv_id") < "conv00000008")
+    half2 = t.filter(F.col("conv_id") >= "conv00000008")
+    src_dir = str(tmp_path / "src")
+    half1.write.parquet(src_dir)
+    cat = SinkCatalog(str(tmp_path / "wh"))
+    ck = str(tmp_path / "ckpt")
+
+    q = start_pipeline_stream(spark, read_transcript_stream(spark, src_dir), CFG, cat, ck)
+    q.awaitTermination(120)
+    n1 = cat.read(spark, "sink").count()
+
+    half2.write.mode("append").parquet(src_dir)
+    q2 = start_pipeline_stream(spark, read_transcript_stream(spark, src_dir), CFG, cat, ck)
+    q2.awaitTermination(120)
+    n2 = cat.read(spark, "sink").count()
+    good_all, _ = split_streams(build(t, CFG, spark), CFG)
+    assert n2 == good_all.count() and n2 > n1  # only the new files were appended
+
+    q3 = start_pipeline_stream(
+        spark, read_transcript_stream(spark, src_dir), CFG, cat, str(tmp_path / "ckpt2")
+    )
+    q3.awaitTermination(120)
+    assert cat.read(spark, "sink").count() == 2 * n2  # fresh stream appended (not marker-blocked)
