@@ -47,6 +47,11 @@ def write_data_stream(
     if TIMESTAMP_KEY not in df.columns:
         out = out.withColumn(TIMESTAMP_KEY, F.date_format(F.col(ts_col), ISO8601_US))
     out = out.withColumn(INDEX_KEY, F.lit(stream_name))
-    append_to_sink(out, catalog, "sink")
-    n = out.count()
-    return {"written": n}
+    # count DURING the write (Observation) — a post-write .count()
+    # would re-execute the whole upstream plan
+    from pyspark.sql import Observation
+
+    obs = Observation("ds_write")
+    observed = out.observe(obs, F.count(F.lit(1)).alias("n"))
+    append_to_sink(observed, catalog, "sink")
+    return {"written": obs.get["n"]}

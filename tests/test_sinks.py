@@ -247,3 +247,45 @@ def test_legacy_flat_layout_visible_and_migratable(spark, tmp_path):
     assert cat.compact(spark, "sink") == 2  # both legacy partitions migrated
     assert not any(d.startswith("_index=") for d in os.listdir(cat.path("sink")))
     assert {r["_id"]: r["v"] for r in cat.read(spark, "sink").collect()} == {"a": 1, "b": 2, "c": 3}
+
+
+def test_catalog_model_random_op_sequence(spark, tmp_path):
+    """Model-based check of the versioned catalog: a seeded random
+    sequence of index/create/update/upsert merges (with cross-partition
+    id moves) must leave the snapshot equal to a plain dict model of
+    the reference write-op semantics."""
+    import random
+
+    rng = random.Random(20260816)
+    cat = SinkCatalog(str(tmp_path))
+    model: dict[str, tuple[str, int]] = {}  # _id -> (_index, v)
+
+    for step in range(12):
+        op = rng.choice(["index", "create", "update", "upsert"])
+        rows = [
+            (f"id{rng.randrange(8)}", f"i{rng.randrange(3)}", step * 100 + k)
+            for k in range(rng.randrange(1, 4))
+        ]
+        # batch-internal dedup is not part of the contract; keep ids unique
+        seen, uniq = set(), []
+        for r in rows:
+            if r[0] not in seen:
+                uniq.append(r)
+                seen.add(r[0])
+        cfg = PipelineConfig(write_operation=op, id_key="_id")
+        merge_write(spark, _df(spark, uniq), cat, cfg)
+        for _id, idx, v in uniq:
+            if op == "index":
+                model[_id] = (idx, v)
+            elif op == "create":
+                model.setdefault(_id, (idx, v))
+            elif op == "update":
+                if _id in model:
+                    model[_id] = (idx, v)
+            elif op == "upsert":
+                model[_id] = (idx, v)
+        if step % 5 == 4:
+            cat.compact(spark, "sink")
+
+    got = {r["_id"]: (r["_index"], r["v"]) for r in cat.read(spark, "sink").collect()}
+    assert got == model
