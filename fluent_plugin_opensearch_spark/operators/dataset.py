@@ -655,6 +655,57 @@ def embedding_neardup_pairs(
     )
 
 
+def curate_corpus(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_tokens: int = 20,
+    min_chars: int = 100,
+    min_jaccard: float = 0.2,
+    num_hashes: int = 8,
+    bands: int = 4,
+    hasher=None,
+    bucket_by_values: bool = False,
+) -> DataFrame:
+    """The end-to-end training-data curation pipeline, composed from
+    the individual stages (each separately oracle-checked):
+
+        quality gate (length/diversity thresholds)
+        → exact dedup (keep lowest id per normalized fingerprint)
+        → MinHash+LSH near-dup clusters → keep one doc per cluster
+          (the cluster minimum — deterministic, reproducible corpus)
+
+    Returns the kept ``doc_id`` set. Plan shape: two semi-joins +
+    the bucketed LSH chain + star-CC — no all-pairs work anywhere, so
+    the composition scales exactly as far as its worst stage (the
+    banded self-join)."""
+    stats = text_stats(docs, id_col, text_col)
+    quality_ids = stats.filter(
+        (F.col("n_tokens") >= min_tokens)
+        & (F.col("n_chars") >= min_chars)
+        & (F.col("n_distinct_tokens") * 4 >= F.col("n_tokens"))
+    ).select(id_col)
+    quality_docs = docs.join(quality_ids, id_col, "left_semi")
+    exact_ids = dedup_keep_first(quality_docs, id_col, text_col)
+    exact_docs = quality_docs.join(exact_ids, id_col, "left_semi")
+    pairs = minhash_lsh_pairs(
+        exact_docs,
+        id_col,
+        text_col,
+        num_hashes=num_hashes,
+        bands=bands,
+        min_jaccard=min_jaccard,
+        max_bucket_size=1_000_000,
+        hasher=hasher,
+        bucket_by_values=bucket_by_values,
+    )
+    clusters = dedup_clusters_star(pairs)
+    losers = clusters.filter(F.col("doc_id") != F.col("cluster_id")).select(
+        F.col("doc_id").alias(id_col)
+    )
+    return exact_docs.join(losers, id_col, "left_anti").select(id_col)
+
+
 # ---------------------------------------------------------------------------
 # Text analysis
 # ---------------------------------------------------------------------------

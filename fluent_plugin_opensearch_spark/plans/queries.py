@@ -946,9 +946,11 @@ def q_minhash_md5_pairs(spark, sf_dir):
     )
 
 
-def _minhash_md5_sql_ctes(num_hashes: int = 8, bands: int = 4, min_jaccard: float = 0.2) -> str:
-    """Shared CTE block: documents → shingles → md5 minhash signatures
-    → banded candidates → Jaccard-verified pairs (mirrors
+def _minhash_md5_sql_ctes(
+    num_hashes: int = 8, bands: int = 4, min_jaccard: float = 0.2, source: str = "documents"
+) -> str:
+    """Shared CTE block: ``source`` relation → shingles → md5 minhash
+    signatures → banded candidates → Jaccard-verified pairs (mirrors
     minhash_lsh_pairs(hasher=_md5_hasher, bucket_by_values=True))."""
     rows = num_hashes // bands
     hash_cols = ",\n    ".join(
@@ -962,7 +964,7 @@ def _minhash_md5_sql_ctes(num_hashes: int = 8, bands: int = 4, min_jaccard: floa
         for b in range(bands)
     )
     return rf"""toks AS (
-  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM {source}
   WHERE text IS NOT NULL),
 sh AS (
   SELECT doc_id,
@@ -1074,6 +1076,43 @@ reach(id, r) AS (
   UNION
   SELECT reach.id, e.dst FROM reach JOIN edges e ON reach.r = e.src)
 SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id"""
+)
+
+
+def q_curated_corpus(spark, sf_dir):
+    """End-to-end training-data curation (quality gate → exact dedup →
+    near-dup cluster keep-one), the full composition oracle-checked in
+    one DuckDB query: quality/fingerprint CTEs + the md5 minhash chain
+    over the kept docs + recursive-CTE clusters + anti-join."""
+    return DS.curate_corpus(
+        _docs(spark, sf_dir), hasher=DS._md5_hasher, bucket_by_values=True
+    )
+
+
+O_CURATED_CORPUS = (
+    "WITH RECURSIVE "
+    + r"""qtoks AS (
+  SELECT doc_id, length(text) AS n_chars, string_split_regex(trim(text), '\s+') AS t
+  FROM documents),
+quality AS (
+  SELECT doc_id FROM qtoks
+  WHERE len(t) >= 20 AND n_chars >= 100 AND len(list_distinct(t)) * 4 >= len(t)),
+qdocs AS (SELECT d.* FROM documents d JOIN quality USING (doc_id)),
+exact AS (SELECT min(doc_id) AS doc_id FROM qdocs GROUP BY md5(lower(trim(text)))),
+kept AS (SELECT d.* FROM qdocs d JOIN exact USING (doc_id)),
+"""
+    + _minhash_md5_sql_ctes(source="kept")
+    + """,
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION SELECT doc_b, doc_a FROM pairs),
+reach(id, r) AS (
+  SELECT DISTINCT src, src FROM edges
+  UNION
+  SELECT reach.id, e.dst FROM reach JOIN edges e ON reach.r = e.src),
+clusters AS (SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id),
+losers AS (SELECT doc_id FROM clusters WHERE doc_id != cluster_id)
+SELECT doc_id FROM kept WHERE doc_id NOT IN (SELECT doc_id FROM losers)"""
 )
 
 
@@ -1230,6 +1269,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "simhash_neardup_md5": q_simhash_neardup_md5,
     "ngram_jaccard": q_ngram_jaccard,
     "dedup_clusters": q_dedup_clusters,
+    "curated_corpus": q_curated_corpus,
     # rows-only checks (engine-specific hashing / pandas-UDF stages)
     "simhash_neardup": q_simhash_neardup,
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
@@ -1286,5 +1326,6 @@ ORACLES: dict[str, str] = {
     "ngram_jaccard": O_NGRAM_JACCARD,
     "ivf_topk_md5": O_IVF_TOPK_MD5,
     "dedup_clusters": O_DEDUP_CLUSTERS,
+    "curated_corpus": O_CURATED_CORPUS,
     "multimodal_features": O_MULTIMODAL,
 }

@@ -291,3 +291,17 @@ def test_grok_pattern_dictionary(spark):
     assert rows[1]["pattern"] == "corrupted" and rows[1]["corrupted_kind"] == "click"
     assert rows[1]["level"] is None
     assert rows[2]["pattern"] is None and rows[3]["pattern"] is None
+
+
+def test_curate_corpus_planted(spark):
+    """End-to-end curation drops: low-quality (4), exact dup (3, keeps
+    lowest id 1), near-dup cluster loser (2) — keeps {1, 5}."""
+    base = " ".join(f"w{i:02d}" for i in range(40))
+    near = base.replace("w39", "w39x")
+    far = " ".join(f"z{i:02d}" for i in range(40))
+    df = spark.createDataFrame(
+        [(1, base), (2, near), (3, base), (4, "tiny"), (5, far)],
+        "doc_id bigint, text string",
+    )
+    kept = {r["doc_id"] for r in DS.curate_corpus(df, min_jaccard=0.5).collect()}
+    assert kept == {1, 5}
