@@ -409,6 +409,35 @@ FROM batch b LEFT JOIN existing e USING (_id) GROUP BY 1"""
 )
 
 
+def q_missing_id_dlq(spark, sf_dir):
+    """W1 side-rule (out_opensearch.rb:895-903): under update +
+    emit_error_for_missing_id, parsed rows whose id field (here: tool)
+    is NULL route to DLQ with reason missing_id; parse failures keep
+    their own reason (the ladder order)."""
+    cfg = PipelineConfig(
+        logstash_format=True,
+        logstash_prefix="logs",
+        write_operation="update",
+        id_key="tool",
+        emit_error_for_missing_id=True,
+    )
+    _, dlq = split_streams(build(_t(spark, sf_dir), cfg, spark), cfg)
+    return dlq.groupBy("dlq_reason").agg(F.count(F.lit(1)).alias("n"))
+
+
+O_MISSING_ID_DLQ = (
+    ORACLE_PREFIX
+    + f"""
+SELECT CASE WHEN text IS NULL THEN 'null_record'
+            WHEN NOT regexp_matches(text, {SQL_GROK}) THEN 'parse_error'
+            ELSE 'missing_id' END AS dlq_reason,
+       count(*) AS n
+FROM transcripts
+WHERE NOT {SQL_PARSED} OR tool IS NULL
+GROUP BY 1"""
+)
+
+
 def q_pipeline_meta(spark, sf_dir):
     """Bulk-meta ``pipeline`` field with placeholder expansion
     (meta["pipeline"], out_opensearch.rb:153,835-840,1027-1029):
@@ -1240,6 +1269,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "affinity_routing": q_affinity_routing,
     "affinity_e2e": q_affinity_e2e,
     "pipeline_meta": q_pipeline_meta,
+    "missing_id_dlq": q_missing_id_dlq,
     "retry_union": q_retry_union,
     "per_conv_stats": q_per_conv_stats,
     "conv_gaps": q_conv_gaps,
@@ -1296,6 +1326,7 @@ ORACLES: dict[str, str] = {
     "affinity_routing": O_AFFINITY,
     "affinity_e2e": O_AFFINITY_E2E,
     "pipeline_meta": O_PIPELINE_META,
+    "missing_id_dlq": O_MISSING_ID_DLQ,
     "retry_union": O_RETRY_UNION,
     "per_conv_stats": O_PER_CONV,
     "conv_gaps": O_CONV_GAPS,
