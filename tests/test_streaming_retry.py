@@ -254,3 +254,28 @@ def test_stream_resume_new_data_and_second_stream_markers(spark, tmp_path):
     )
     q3.awaitTermination(120)
     assert cat.read(spark, "sink").count() == 2 * n2  # fresh stream appended (not marker-blocked)
+
+
+def test_retry_emit_failure_fails_batch(spark, tmp_path, monkeypatch):
+    """RetryStreamEmitFailure analog (test_out_opensearch.rb:3426-3501):
+    a failure writing the retry stream must propagate (the driver/
+    checkpoint must not advance past the batch); already-committed
+    sink data is replay-safe via chunk-id/marker dedup."""
+    cat = SinkCatalog(str(tmp_path))
+
+    real_commit = SinkCatalog.commit
+
+    def failing_commit(self, table, version, touched, replace, **kw):
+        if table == "retry":
+            raise RuntimeError("retry stream emit failure")
+        return real_commit(self, table, version, touched, replace, **kw)
+
+    monkeypatch.setattr(SinkCatalog, "commit", failing_commit)
+    df = _batch(spark, range(6)).withColumn(
+        "outcome", F.when(F.col("_id").cast("int") >= 4, "retry").otherwise("success")
+    )
+    with pytest.raises(RuntimeError, match="retry stream emit failure"):
+        fanout_by_outcome(df, cat, CFG)
+    # successes committed before the failure; retry table has NO snapshot
+    assert cat.read(spark, "sink").count() == 4
+    assert not cat.exists("retry")
