@@ -200,6 +200,26 @@ def sessionize_stream(
     )
 
 
+def dedup_stream(
+    source: DataFrame,
+    keys: tuple[str, ...] = ("conv_id", "turn_idx"),
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming exact dedup across micro-batches — the chunk-replay
+    dedup (P7, out_opensearch.rb:847-854) as a stateful stream stage:
+    ``dropDuplicatesWithinWatermark`` keys state on the natural id and
+    EVICTS it past the watermark, so state stays bounded by the event-
+    time window instead of growing with the stream (the plain
+    ``dropDuplicates`` trap on unbounded streams). Duplicates arriving
+    within the watermark of each other (the replay case — same rows,
+    same event times) are guaranteed dropped."""
+    return (
+        source.withColumn("ts", F.col("ts").cast("timestamp"))
+        .withWatermark("ts", watermark)
+        .dropDuplicatesWithinWatermark(list(keys))
+    )
+
+
 def windowed_sink_counts(
     source: DataFrame, window: str = "1 hour", watermark: str = "10 minutes"
 ) -> DataFrame:

@@ -279,3 +279,27 @@ def test_retry_emit_failure_fails_batch(spark, tmp_path, monkeypatch):
     # successes committed before the failure; retry table has NO snapshot
     assert cat.read(spark, "sink").count() == 4
     assert not cat.exists("retry")
+
+
+def test_dedup_stream_drops_replayed_rows(spark, tmp_path):
+    """Streaming replay dedup: a doubled source drains to exactly the
+    distinct row set, with state bounded by the watermark."""
+    from fluent_plugin_opensearch_spark.streaming.stream import dedup_stream
+
+    t = load_transcripts(spark, SF_SMOKE).filter(F.col("conv_id") < "conv00000004")
+    src_dir = str(tmp_path / "dups")
+    t.unionByName(t).write.parquet(src_dir)  # replayed chunk
+    n_distinct = t.count()
+    q = (
+        dedup_stream(read_transcript_stream(spark, src_dir))
+        .writeStream.format("memory")
+        .queryName("dedup_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.table("dedup_out")
+    assert got.count() == n_distinct
+    assert got.select("conv_id", "turn_idx").distinct().count() == n_distinct
