@@ -93,7 +93,13 @@ def inject_timestamp(df: DataFrame, cfg: PipelineConfig, event_time_col: str = "
     fmt = ISO8601_US.replace("SSSSSS", "S" * precision) if precision > 0 else ISO8601_US.replace(".SSSSSS", "")
     iso = F.date_format(best_ts, fmt)
 
-    out = df
+    # _event_ts / time_parse_error FIRST: their expressions reference
+    # the record's ORIGINAL @timestamp column — adding the emitted
+    # @timestamp before them would silently rebind F.col("@timestamp")
+    # to the freshly-injected value (caught by
+    # test_timestamp_precedence_random: a garbage time_key's error
+    # flag vanished because the emitted fallback re-parsed cleanly)
+    out = df.withColumn("_event_ts", best_ts).withColumn("time_parse_error", parse_error)
     if cfg.logstash_format or cfg.include_timestamp:
         emitted = iso
         if tk is not None and cfg.time_key_exclude_timestamp:
@@ -102,4 +108,4 @@ def inject_timestamp(df: DataFrame, cfg: PipelineConfig, event_time_col: str = "
         if has_ts_field:
             emitted = F.coalesce(F.col(TIMESTAMP_KEY), emitted)
         out = out.withColumn(TIMESTAMP_KEY, emitted)
-    return out.withColumn("_event_ts", best_ts).withColumn("time_parse_error", parse_error)
+    return out

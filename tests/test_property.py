@@ -91,3 +91,47 @@ def test_dedup_clusters_transitive(spark):
     )
     got = {r["doc_id"]: r["cluster_id"] for r in dedup_clusters(pairs).collect()}
     assert got == {1: 1, 2: 1, 3: 1, 7: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
+
+
+def test_timestamp_precedence_random(spark):
+    """150 seeded random records across the @timestamp/time_key
+    presence × validity matrix; expected routing timestamp and
+    parse-error flag computed independently in Python per the
+    reference precedence (out_opensearch.rb:972-985)."""
+    from datetime import datetime, timedelta
+
+    from fluent_plugin_opensearch_spark.operators.timestamps import inject_timestamp
+
+    rng = random.Random(11)
+    base = datetime(2024, 1, 1)
+
+    def iso(dt):
+        return dt.strftime("%Y-%m-%dT%H:%M:%S")
+
+    rows, want = [], []
+    for _ in range(150):
+        event = base + timedelta(seconds=rng.randrange(0, 10_000_000))
+        at_dt = base + timedelta(seconds=rng.randrange(0, 10_000_000))
+        tk_dt = base + timedelta(seconds=rng.randrange(0, 10_000_000))
+        at = rng.choice([None, iso(at_dt), "garbage-at"])
+        tk = rng.choice([None, iso(tk_dt), "garbage-tk", str(int(tk_dt.timestamp()))])
+        rows.append((at, tk, event))
+        if at is not None:
+            ok = at != "garbage-at"
+            want.append((iso(at_dt) if ok else iso(event), not ok))
+        elif tk is not None:
+            ok = tk != "garbage-tk"
+            want.append((iso(tk_dt) if ok else iso(event), not ok))
+        else:
+            want.append((iso(event), False))
+
+    df = spark.createDataFrame(rows, "`@timestamp` string, tk string, ts timestamp_ntz")
+    out = inject_timestamp(df, PipelineConfig(logstash_format=True, time_key="tk"))
+    got = [
+        (r["x"], r["time_parse_error"])
+        for r in out.select(
+            F.date_format("_event_ts", "yyyy-MM-dd'T'HH:mm:ss").alias("x"),
+            "time_parse_error",
+        ).collect()
+    ]
+    assert got == want
