@@ -60,3 +60,24 @@ def test_blocked_splits_hot_conversation(spark):
     # 10 blocks → phase-1 parallelism 10 for this single conversation
     n_blocks = df.withColumn("b", (F.col("turn_idx") / 100).cast("int")).select("b").distinct().count()
     assert n_blocks == 10
+
+
+def test_blocked_equals_plain_random(spark):
+    """Randomized equivalence: seeded random gap patterns (some past
+    the 30-min threshold) across several convs must produce identical
+    sessions for every block size, including block_size=1."""
+    import random
+
+    rng = random.Random(3)
+    rows = []
+    for c in range(6):
+        t = 1_700_000_000_000_000 + rng.randrange(10**6)
+        for i in range(rng.randrange(5, 60)):
+            t += rng.choice([30, 60, 1900, 3600]) * 1_000_000
+            rows.append((f"c{c}", i, t))
+    df = spark.createDataFrame(rows, "conv_id string, turn_idx int, raw_us bigint").withColumn(
+        "ts", F.timestamp_micros(F.col("raw_us"))
+    )
+    plain = _collect_sessions(sessionize(df, gap_minutes=30))
+    for bs in (1, 3, 7, 1000):
+        assert _collect_sessions(sessionize_blocked(df, gap_minutes=30, block_size=bs)) == plain, bs
