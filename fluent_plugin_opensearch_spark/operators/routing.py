@@ -16,7 +16,9 @@ from pyspark.sql import functions as F
 from ..config import PipelineConfig, strftime_to_spark
 from ..constants import INDEX_KEY
 
-_PLACEHOLDER_RE = re.compile(r"\$\{([^}]+)\}|(%[-:.%\w]?[a-zA-Z%])")
+#: ${key} | %% (escaped percent — matched FIRST so '%%%Y' lexes as
+#: '%%','%Y', like strftime) | %<modifier?><letter> directives
+_PLACEHOLDER_RE = re.compile(r"\$\{([^}]+)\}|(%%|%[-:.\w]?[a-zA-Z])")
 
 
 def expand_placeholders(template: str, tag_col: str = "tag", ts_col: str = "_event_ts") -> Column:

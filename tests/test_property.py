@@ -135,3 +135,28 @@ def test_timestamp_precedence_random(spark):
         ).collect()
     ]
     assert got == want
+
+
+def test_placeholder_random_templates(spark):
+    """40 seeded random index templates (literals, ${tag}, ${custom},
+    strftime directives, %%) vs an independent Python expansion."""
+    from datetime import datetime
+
+    from fluent_plugin_opensearch_spark.operators.routing import expand_placeholders
+
+    rng = random.Random(5)
+    ts = datetime(2024, 3, 5, 10, 20, 30)
+    tag, region = "app.logs", "us-east"
+    df = spark.createDataFrame([(tag, region, ts)], "tag string, region string, _event_ts timestamp")
+
+    pieces = ["idx-", "x", ".", "-", "${tag}", "${region}", "%Y", "%m", "%d", "%H", "%M", "%%"]
+    for _ in range(40):
+        parts = [rng.choice(pieces) for _ in range(rng.randrange(1, 7))]
+        template = "".join(parts)
+        want = "".join(
+            tag if p == "${tag}" else region if p == "${region}" else ts.strftime(p)
+            if p.startswith("%") else p
+            for p in parts
+        )
+        got = df.select(expand_placeholders(template).alias("x")).collect()[0]["x"]
+        assert got == want, template
