@@ -160,3 +160,24 @@ def test_placeholder_random_templates(spark):
         )
         got = df.select(expand_placeholders(template).alias("x")).collect()[0]["x"]
         assert got == want, template
+
+
+def test_chunk_id_stable_across_partitioning(spark):
+    """P7 replay claim (ADVICE r1): chunk ids derive from row content,
+    so the same rows under different partition layouts produce
+    identical ids."""
+    from fluent_plugin_opensearch_spark.operators.transforms import inject_chunk_id
+
+    rows = [(f"c{i % 9}", i, f"logs-2024.01.{i % 28 + 1:02d}") for i in range(300)]
+    df = spark.createDataFrame(rows, "conv_id string, turn_idx int, _index string")
+
+    def ids(frame):
+        return {
+            (r["conv_id"], r["turn_idx"]): r["chunk_id"]
+            for r in inject_chunk_id(frame).collect()
+        }
+
+    a = ids(df.repartition(1))
+    b = ids(df.repartition(16, "turn_idx"))
+    c = ids(df.coalesce(2))
+    assert a == b == c

@@ -289,3 +289,47 @@ def test_catalog_model_random_op_sequence(spark, tmp_path):
 
     got = {r["_id"]: (r["_index"], r["v"]) for r in cat.read(spark, "sink").collect()}
     assert got == model
+
+
+def test_update_exclusions_random_model(spark, tmp_path):
+    """Randomized model check of the update-body exclusions (P13):
+    static remove_keys_on_update + per-record remove_keys_on_update_key
+    against a plain Python model across 8 random update batches."""
+    import random
+
+    rng = random.Random(99)
+    cat = SinkCatalog(str(tmp_path))
+    base_cfg = PipelineConfig(write_operation="index", id_key="_id")
+    seed_rows = [(f"id{i}", "i1", i, i * 10, None) for i in range(10)]
+    schema = "_id string, _index string, a int, b int, excl string"
+    spark.createDataFrame(seed_rows, schema)  # schema smoke
+    merge_write(spark, spark.createDataFrame(seed_rows, schema), cat, base_cfg)
+    model = {r[0]: {"a": r[2], "b": r[3]} for r in seed_rows}
+
+    cfg = PipelineConfig(
+        write_operation="update",
+        id_key="_id",
+        remove_keys_on_update=("b",),
+        remove_keys_on_update_key="excl",
+    )
+    for step in range(8):
+        batch = []
+        for _ in range(rng.randrange(1, 5)):
+            _id = f"id{rng.randrange(12)}"  # some misses
+            excl = rng.choice([None, "a", "a, b", "zz"])
+            batch.append((_id, "i1", step * 100 + rng.randrange(100), step, excl))
+        seen, uniq = set(), []
+        for r in batch:
+            if r[0] not in seen:
+                uniq.append(r)
+                seen.add(r[0])
+        merge_write(spark, spark.createDataFrame(uniq, schema), cat, cfg)
+        for _id, _idx, a, b, excl in uniq:
+            if _id not in model:
+                continue  # update only touches existing
+            dyn = {k.strip() for k in (excl or "").split(",")}
+            if "a" not in dyn:
+                model[_id]["a"] = a
+            # 'b' is statically excluded: never updated
+    got = {r["_id"]: {"a": r["a"], "b": r["b"]} for r in cat.read(spark, "sink").collect()}
+    assert got == model
