@@ -151,3 +151,27 @@ def test_run_batch_and_resume(spark, tmp_path):
     src = t.filter(F.col("text").isNotNull()).orderBy("conv_id", "turn_idx")
     n_src = src.count()
     assert sink.count() + dlq.filter(F.col("dlq_reason") != "null_record").count() == n_src
+
+
+def test_sink_id_state_scoped_to_prefix(spark, tmp_path):
+    """Affinity lookups query only the logstash index family
+    (out_opensearch.rb:934-936 `logstash_prefix-*`); foreign
+    partitions and null ids are excluded (and pruned at the scan)."""
+    from fluent_plugin_opensearch_spark.plans.pipeline import sink_id_state
+    from fluent_plugin_opensearch_spark.sinks.writer import append_to_sink
+
+    cat = SinkCatalog(str(tmp_path))
+    df = spark.createDataFrame(
+        [
+            ("a", "logs-2024.01.01"),
+            ("b", "other-2024.01.01"),
+            (None, "logs-2024.01.02"),
+        ],
+        "_id string, _index string",
+    )
+    append_to_sink(df, cat, "sink")
+    cfg = PipelineConfig(logstash_format=True, logstash_prefix="logs")
+    state = sink_id_state(spark, cat, cfg)
+    rows = {(r["_id"], r["_index"]) for r in state.collect()}
+    assert rows == {("a", "logs-2024.01.01")}
+    assert sink_id_state(spark, SinkCatalog(str(tmp_path / "empty")), cfg) is None
