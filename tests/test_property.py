@@ -181,3 +181,51 @@ def test_chunk_id_stable_across_partitioning(spark):
     b = ids(df.repartition(16, "turn_idx"))
     c = ids(df.coalesce(2))
     assert a == b == c
+
+
+def test_flatten_random_nested_schemas(spark):
+    """Seeded random nested structs (depth ≤3) flattened by
+    flatten_struct_cols must equal an independent Python dict
+    flattening of the same rows."""
+    from fluent_plugin_opensearch_spark.operators.transforms import flatten_struct_cols
+
+    rng = random.Random(13)
+
+    def rand_schema(depth):
+        fields = []
+        for i in range(rng.randrange(1, 4)):
+            name = f"f{depth}{i}"
+            if depth < 3 and rng.random() < 0.5:
+                fields.append((name, rand_schema(depth + 1)))
+            else:
+                fields.append((name, None))  # leaf string
+        return fields
+
+    def to_ddl(fields):
+        parts = []
+        for name, sub in fields:
+            parts.append(f"{name}: string" if sub is None else f"{name}: struct<{to_ddl(sub)}>")
+        return ", ".join(parts)
+
+    def rand_value(fields):
+        return tuple(
+            _rand_str(rng, 5) if sub is None else rand_value(sub) for _, sub in fields
+        )
+
+    def flat(prefix, fields, value, out):
+        for (name, sub), v in zip(fields, value):
+            key = f"{prefix}_{name}" if prefix else name
+            if sub is None:
+                out[key] = v
+            else:
+                flat(key, sub, v, out)
+        return out
+
+    for _ in range(5):
+        schema = rand_schema(1)
+        ddl = to_ddl(schema)
+        row = rand_value(schema)
+        df = spark.createDataFrame([row], ddl)
+        got = flatten_struct_cols(df, "_").collect()[0].asDict()
+        want = flat("", schema, row, {})
+        assert got == want, ddl
