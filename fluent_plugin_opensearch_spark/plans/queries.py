@@ -926,15 +926,8 @@ def q_embedding_neardup(spark, sf_dir):
     """Embedding-cosine near-dup (exact baseline): 5 planted scaled
     copies of real vectors must pair with their originals at cos≈1.0
     while random pairs (max cos ~0.51 in this data) stay out."""
-    emb = _emb(spark, sf_dir)
-    v_dbl = F.transform(F.col("embedding"), lambda x: x.cast("double"))
-    base = emb.select("vec_id", v_dbl.alias("embedding"))
-    planted = base.filter(F.col("vec_id") < 5).select(
-        (F.col("vec_id") + 100000).alias("vec_id"),
-        F.transform(F.col("embedding"), lambda x: x * 1.001).alias("embedding"),
-    )
     return DS.embedding_neardup_pairs(
-        base.unionByName(planted), threshold=0.99, exact=True
+        _planted_emb(spark, sf_dir), threshold=0.99, exact=True
     )
 
 
@@ -951,6 +944,78 @@ SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
 FROM n a, n b
 WHERE a.vec_id < b.vec_id
   AND list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= 0.99"""
+
+
+def _planted_emb(spark, sf_dir):
+    """embeddings ∪ 5 planted scaled near-copies (shared by the exact
+    and LSH embedding-neardup queries)."""
+    emb = _emb(spark, sf_dir)
+    v_dbl = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    base = emb.select("vec_id", v_dbl.alias("embedding"))
+    planted = base.filter(F.col("vec_id") < 5).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform(F.col("embedding"), lambda x: x * 1.001).alias("embedding"),
+    )
+    return base.unionByName(planted)
+
+
+def q_embedding_neardup_lsh_md5(spark, sf_dir):
+    """The PRODUCTION multi-band sign-LSH embedding-neardup path,
+    engine-portable twin (md5-parity hyperplanes): DuckDB reproduces
+    the per-band bucket assignment, the banded candidate set and the
+    cosine verification value-for-value — so the scale path itself is
+    oracle-checked, not just the brute-force baseline
+    (``embedding_neardup``). 4 bands × 4 bits; guard left at the
+    production default (non-binding on 505 vectors)."""
+    return DS.embedding_neardup_pairs(
+        _planted_emb(spark, sf_dir),
+        threshold=0.99,
+        n_bands=4,
+        band_bits=4,
+        direction_fn=DS.md5_direction,
+    )
+
+
+def _emb_band_bucket_sql(b: int, band_bits: int = 4) -> str:
+    """DuckDB twin of embedding_neardup_pairs' band_bucket (md5
+    directions): packed sign bits of band ``b``."""
+    return " + ".join(
+        f"""(CASE WHEN list_sum(list_transform(range(len(v)),
+            i -> v[CAST(i AS INT) + 1] *
+                 ((('0x' || substr(md5(i || '#{b * band_bits + r}'), 1, 2))::INT % 2) * 2 - 1))) > 0
+          THEN {1 << r} ELSE 0 END)"""
+        for r in range(band_bits)
+    )
+
+
+O_EMBEDDING_NEARDUP_LSH = f"""
+WITH base0 AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+planted AS (
+  SELECT vec_id + 100000 AS vec_id, list_transform(v, x -> x * 1.001) AS v
+  FROM base0 WHERE vec_id < 5),
+allv AS (SELECT * FROM base0 UNION ALL SELECT * FROM planted),
+n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm,
+             {_emb_band_bucket_sql(0)} AS b0,
+             {_emb_band_bucket_sql(1)} AS b1,
+             {_emb_band_bucket_sql(2)} AS b2,
+             {_emb_band_bucket_sql(3)} AS b3
+      FROM allv),
+bands AS (
+  SELECT vec_id, 0 AS band, b0 AS bucket FROM n
+  UNION ALL SELECT vec_id, 1, b1 FROM n
+  UNION ALL SELECT vec_id, 2, b2 FROM n
+  UNION ALL SELECT vec_id, 3, b3 FROM n),
+cand AS (
+  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id)
+SELECT vec_a, vec_b,
+       round(list_dot_product(na.v, nb.v) / (na.nrm * nb.nrm), 4) AS cos
+FROM cand
+JOIN n na ON na.vec_id = vec_a
+JOIN n nb ON nb.vec_id = vec_b
+WHERE list_dot_product(na.v, nb.v) / (na.nrm * nb.nrm) >= 0.99"""
 
 
 def q_simhash_neardup(spark, sf_dir):
@@ -1114,7 +1179,13 @@ def q_curated_corpus(spark, sf_dir):
     one DuckDB query: quality/fingerprint CTEs + the md5 minhash chain
     over the kept docs + recursive-CTE clusters + anti-join."""
     return DS.curate_corpus(
-        _docs(spark, sf_dir), hasher=DS._md5_hasher, bucket_by_values=True
+        _docs(spark, sf_dir),
+        hasher=DS._md5_hasher,
+        bucket_by_values=True,
+        # oracle parity ONLY: the DuckDB chain enumerates every
+        # candidate, so the guard must not bind here — the production
+        # default stays at the guarded 1000 (VERDICT r2 item 3)
+        max_bucket_size=1_000_000,
     )
 
 
@@ -1199,6 +1270,57 @@ pairs AS (
 SELECT q_id, neighbor_id,
        CAST(row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, neighbor_id) AS INT) AS rank
 FROM pairs QUALIFY rank <= 10"""
+
+
+def q_ivf_recall(spark, sf_dir):
+    """Recall@10 of the IVF/sign-LSH ANN path against the exact
+    brute-force top-k, as an ORACLE-CHECKED integer query (VERDICT r2
+    item 7 — replaces the ad-hoc pytest recall check): per query id,
+    how many of the exact top-10 the md5-twin IVF retrieval found.
+    Both sides are DuckDB-expressible, so the oracle recomputes the
+    whole exact-vs-approx comparison independently."""
+    emb = _emb(spark, sf_dir)
+    exact = DS.cosine_topk(emb, query_ids=[0, 1, 2, 3, 4], k=10)
+    approx = DS.ivf_topk(
+        emb, query_ids=[0, 1, 2, 3, 4], k=10, n_probe_bits=4, direction_fn=DS.md5_direction
+    )
+    hit = approx.select("q_id", "neighbor_id").withColumn("_hit", F.lit(1))
+    return (
+        exact.join(hit, ["q_id", "neighbor_id"], "left")
+        .groupBy("q_id")
+        .agg(F.count("_hit").alias("hits"))
+    )
+
+
+O_IVF_RECALL = f"""
+WITH base AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+bk AS (SELECT vec_id, v, {_ivf_md5_bucket_sql(4)} AS bucket FROM base),
+eq AS (SELECT vec_id AS q_id, v AS qv FROM base WHERE vec_id < 5),
+epairs AS (
+  SELECT eq.q_id, e.vec_id AS neighbor_id, list_cosine_similarity(e.v, eq.qv) AS sim
+  FROM base e, eq WHERE e.vec_id != eq.q_id),
+exact AS (
+  SELECT q_id, neighbor_id FROM (
+    SELECT q_id, neighbor_id,
+           row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, neighbor_id) AS rank
+    FROM epairs) WHERE rank <= 10),
+aq AS (SELECT vec_id AS q_id, v AS qv, bucket AS qb FROM bk WHERE vec_id < 5),
+probes AS (
+  SELECT q_id, qv, unnest([qb, xor(qb, 1), xor(qb, 2), xor(qb, 4), xor(qb, 8)]) AS pb
+  FROM aq),
+apairs AS (
+  SELECT p.q_id, e.vec_id AS neighbor_id, list_cosine_similarity(e.v, p.qv) AS sim
+  FROM bk e JOIN probes p ON e.bucket = p.pb WHERE e.vec_id != p.q_id),
+approx AS (
+  SELECT q_id, neighbor_id FROM (
+    SELECT q_id, neighbor_id,
+           row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, neighbor_id) AS rank
+    FROM apairs) WHERE rank <= 10)
+SELECT e.q_id, CAST(count(a.neighbor_id) AS BIGINT) AS hits
+FROM exact e
+LEFT JOIN approx a ON e.q_id = a.q_id AND e.neighbor_id = a.neighbor_id
+GROUP BY e.q_id"""
 
 
 def q_approx_sink_profile(spark, sf_dir):
@@ -1300,6 +1422,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ngram_jaccard": q_ngram_jaccard,
     "dedup_clusters": q_dedup_clusters,
     "curated_corpus": q_curated_corpus,
+    "embedding_neardup_lsh_md5": q_embedding_neardup_lsh_md5,
+    "ivf_recall": q_ivf_recall,
     # rows-only checks (engine-specific hashing / pandas-UDF stages)
     "simhash_neardup": q_simhash_neardup,
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
@@ -1356,6 +1480,8 @@ ORACLES: dict[str, str] = {
     "simhash_neardup_md5": O_SIMHASH_NEARDUP_MD5,
     "ngram_jaccard": O_NGRAM_JACCARD,
     "ivf_topk_md5": O_IVF_TOPK_MD5,
+    "embedding_neardup_lsh_md5": O_EMBEDDING_NEARDUP_LSH,
+    "ivf_recall": O_IVF_RECALL,
     "dedup_clusters": O_DEDUP_CLUSTERS,
     "curated_corpus": O_CURATED_CORPUS,
     "multimodal_features": O_MULTIMODAL,
