@@ -57,7 +57,10 @@ def inject_timestamp(df: DataFrame, cfg: PipelineConfig, event_time_col: str = "
     (out_opensearch.rb:980). Injection only happens when
     ``logstash_format`` or ``include_timestamp`` (out_opensearch.rb:973)
     — ``_event_ts``/``time_parse_error`` are always computed (routing
-    and DLQ fan-out need them regardless).
+    and DLQ fan-out need them regardless), but the record's own
+    ``@timestamp`` field participates ONLY when injection is on (it is
+    read inside that same branch in the reference; with both flags off
+    it is an ordinary field and never a parse-error source).
 
     The reference formats at ``time_precision`` digits (default ns) —
     Spark is µs, so precision is capped at 6 (documented divergence,
@@ -69,7 +72,13 @@ def inject_timestamp(df: DataFrame, cfg: PipelineConfig, event_time_col: str = "
     branches on has_key?, which a columnar schema cannot distinguish).
     """
     event_ts = F.col(event_time_col)
-    has_ts_field = TIMESTAMP_KEY in df.columns
+    inject_on = cfg.logstash_format or cfg.include_timestamp
+    # the record's own @timestamp is only INSPECTED inside the
+    # injection branch (out_opensearch.rb:973-976) — with both flags
+    # off it is an ordinary record field: never parsed, never a
+    # time_parse_error source (ADVICE r2: unconditional parsing here
+    # DLQ'd records the reference delivers untouched)
+    has_ts_field = inject_on and TIMESTAMP_KEY in df.columns
     tk = F.col(cfg.time_key) if cfg.time_key and cfg.time_key in df.columns else None
 
     best_ts = event_ts

@@ -159,7 +159,7 @@ class SinkCatalog:
         for part in removed:
             m["partitions"].pop(part, None)
         if marker is not None:
-            m["markers"] = sorted(set(m.get("markers", [])) | {marker})
+            m["markers"] = _prune_markers(set(m.get("markers", [])) | {marker})
         m["current_version"] = version
         self.ensure(table)
         tmp = self._manifest_path(table) + ".tmp"
@@ -249,6 +249,35 @@ class SinkCatalog:
                 shutil.rmtree(os.path.join(root, d))
                 removed.append(d)
         return removed
+
+
+#: idempotence markers retained per stream (ADVICE r2: an unpruned
+#: marker set grows one entry per micro-batch forever, and every commit
+#: rewrites the whole manifest — O(n²) cumulative IO on a continuous
+#: stream). Spark's foreachBatch re-delivers only the LATEST unfinished
+#: epoch after a failure, so retaining the most recent 64 batch ids per
+#: stream is far beyond what replay can ever ask for.
+MARKERS_KEPT_PER_STREAM = 64
+
+
+def _prune_markers(markers: set[str], keep: int = MARKERS_KEPT_PER_STREAM) -> list[str]:
+    """Bound the manifest's marker set: group markers by stream prefix
+    (everything before the trailing numeric batch id) and keep only the
+    ``keep`` highest batch ids per stream; markers without a numeric
+    suffix are kept verbatim (external/one-off tokens)."""
+    by_stream: dict[str, list[tuple[int, str]]] = {}
+    passthrough: list[str] = []
+    for mk in markers:
+        prefix, _, suffix = mk.rpartition("-")
+        if prefix and suffix.isdigit():
+            by_stream.setdefault(prefix, []).append((int(suffix), mk))
+        else:
+            passthrough.append(mk)
+    kept = passthrough
+    for entries in by_stream.values():
+        entries.sort()
+        kept.extend(mk for _, mk in entries[-keep:])
+    return sorted(kept)
 
 
 def _staged_partitions(vdir: str) -> list[str]:

@@ -34,6 +34,27 @@ TRANSCRIPTS_SCHEMA = T.StructType(
 )
 
 
+def _checkpoint_instance_id(checkpoint_dir: str) -> str:
+    """Stable id for THIS incarnation of a checkpoint dir: a nonce file
+    written on first use (atomic create). Recreating the dir after a
+    reset yields a new nonce — see the marker-scope comment in
+    ``start_pipeline_stream``."""
+    import os
+    import uuid
+
+    os.makedirs(checkpoint_dir, exist_ok=True)
+    nonce_path = os.path.join(checkpoint_dir, "_fposs_instance")
+    try:
+        # O_EXCL: exactly one writer wins even under concurrent starts
+        fd = os.open(nonce_path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        with os.fdopen(fd, "w") as f:
+            f.write(uuid.uuid4().hex)
+    except FileExistsError:
+        pass
+    with open(nonce_path) as f:
+        return f.read().strip()[:8]
+
+
 def read_transcript_stream(spark: SparkSession, path: str) -> DataFrame:
     """File-source stream over a transcripts directory (the sandbox
     stand-in for a Kafka/Iceberg streaming source)."""
@@ -68,13 +89,16 @@ def start_pipeline_stream(
     (the Iceberg rewrite_data_files analog) collapses them. 0 disables.
     """
     metrics: list[dict] = []
-    # the idempotence scope is THIS stream (its checkpoint is its
-    # identity): batch ids restart at 0 for a fresh checkpoint, so a
-    # second stream into the same warehouse must not collide with the
-    # first stream's markers
-    import hashlib
-
-    stream_id = hashlib.md5(checkpoint_dir.encode()).hexdigest()[:8]
+    # the idempotence scope is THIS stream INSTANCE: batch ids restart
+    # at 0 for a fresh checkpoint, so a second stream into the same
+    # warehouse must not collide with the first stream's markers. The
+    # identity is a nonce file INSIDE the checkpoint dir, not the dir
+    # PATH (ADVICE r2): deleting and recreating the checkpoint (a
+    # common stream reset) restarts batch ids at 0 — a path-derived id
+    # would match the stale markers and silently skip the new run's
+    # first micro-batches. The nonce dies with the checkpoint, so a
+    # reset gets a fresh marker namespace.
+    stream_id = _checkpoint_instance_id(checkpoint_dir)
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         built = build(batch_df, cfg, spark)

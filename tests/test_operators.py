@@ -74,6 +74,26 @@ def test_include_timestamp_and_exclude_knobs(spark):
     assert excl.collect()[0]["@timestamp"] is None
 
 
+def test_timestamp_field_ignored_when_injection_off(spark):
+    """ADVICE r2: with logstash_format AND include_timestamp both off,
+    a record's @timestamp is an ordinary field — never parsed, never a
+    time_parse_error source (the reference reads it only inside the
+    `if @logstash_format || @include_timestamp` branch,
+    out_opensearch.rb:973-976). Before this fix an unparseable value
+    DLQ'd records the reference delivers."""
+    df = spark.createDataFrame(
+        [("definitely-not-a-time", "2024-03-05 10:00:00")],
+        "`@timestamp` string, s string",
+    ).withColumn("ts", F.to_timestamp("s"))
+    out = inject_timestamp(df, PipelineConfig()).collect()[0]
+    assert out["time_parse_error"] is False
+    assert out["@timestamp"] == "definitely-not-a-time"  # kept verbatim
+    assert str(out["_event_ts"]).startswith("2024-03-05 10:00:00")
+    # with injection ON the same garbage value IS a parse error (P5)
+    on = inject_timestamp(df, PipelineConfig(include_timestamp=True)).collect()[0]
+    assert on["time_parse_error"] is True
+
+
 def test_index_name_lowercased(spark):
     """out_opensearch.rb:998-1001 / test :2032-2042."""
     cfg = PipelineConfig(target_index_key="target_index")

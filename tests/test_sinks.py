@@ -333,3 +333,25 @@ def test_update_exclusions_random_model(spark, tmp_path):
             # 'b' is statically excluded: never updated
     got = {r["_id"]: {"a": r["a"], "b": r["b"]} for r in cat.read(spark, "sink").collect()}
     assert got == model
+
+
+def test_marker_set_is_pruned_per_stream():
+    """ADVICE r2: the manifest's marker set must stay bounded on a
+    continuous stream — only the most recent MARKERS_KEPT_PER_STREAM
+    batch ids per stream prefix survive; non-numeric tokens pass
+    through untouched."""
+    from fluent_plugin_opensearch_spark.sinks.writer import (
+        MARKERS_KEPT_PER_STREAM,
+        _prune_markers,
+    )
+
+    markers = {f"stream-aaaa-{i}" for i in range(200)}
+    markers |= {f"stream-bbbb-{i}" for i in range(10)}
+    markers |= {"oneoff-token"}
+    kept = _prune_markers(markers)
+    a = [m for m in kept if m.startswith("stream-aaaa-")]
+    assert len(a) == MARKERS_KEPT_PER_STREAM
+    # numerically newest survive (not lexicographic: 199 > 99)
+    assert "stream-aaaa-199" in a and "stream-aaaa-99" not in a
+    assert len([m for m in kept if m.startswith("stream-bbbb-")]) == 10
+    assert "oneoff-token" in kept

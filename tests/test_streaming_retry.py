@@ -303,3 +303,28 @@ def test_dedup_stream_drops_replayed_rows(spark, tmp_path):
     got = spark.table("dedup_out")
     assert got.count() == n_distinct
     assert got.select("conv_id", "turn_idx").distinct().count() == n_distinct
+
+
+def test_checkpoint_reset_gets_fresh_marker_scope(spark, tmp_path):
+    """ADVICE r2: deleting and recreating the checkpoint dir (a stream
+    reset) restarts batch ids at 0 — the stream identity is a nonce
+    INSIDE the checkpoint, so the reset run is a fresh marker scope and
+    its first micro-batches are processed, not skipped against the old
+    run's stale markers."""
+    import shutil
+
+    t = load_transcripts(spark, SF_SMOKE).filter(F.col("conv_id") < "conv00000004")
+    src_dir = str(tmp_path / "src")
+    t.write.parquet(src_dir)
+    cat = SinkCatalog(str(tmp_path / "wh"))
+    ck = str(tmp_path / "ckpt")
+
+    q = start_pipeline_stream(spark, read_transcript_stream(spark, src_dir), CFG, cat, ck)
+    q.awaitTermination(120)
+    n1 = cat.read(spark, "sink").count()
+    assert n1 > 0
+
+    shutil.rmtree(ck)  # the reset: same path, new incarnation
+    q2 = start_pipeline_stream(spark, read_transcript_stream(spark, src_dir), CFG, cat, ck)
+    q2.awaitTermination(120)
+    assert cat.read(spark, "sink").count() == 2 * n1, "reset run was marker-skipped"
