@@ -70,6 +70,18 @@ class PipelineConfig:
     # (remove_keys_on_update_key)
     remove_keys_on_update: tuple[str, ...] = ()
     remove_keys_on_update_key: str | None = None
+    # skip the {"doc": record} wrap on update bodies (update_body,
+    # out_opensearch.rb:171,776-780): the record IS the update body, so
+    # matched rows are replaced wholesale — an excluded/absent key no
+    # longer preserves its existing value (the wrap is what gives
+    # partial-merge semantics)
+    suppress_doc_wrap: bool = False
+
+    # --- chunk-id injection (out_opensearch.rb:182-183, 847-854) ---
+    # the reference injects the chunk id ONLY when configured; P7 is
+    # gated the same way here (r2 applied it unconditionally)
+    include_chunk_id: bool = False
+    chunk_id_key: str = "chunk_id"
 
     # --- retry / DLQ (out_opensearch.rb:149-165) ---
     retry_tag: str | None = None             # :149

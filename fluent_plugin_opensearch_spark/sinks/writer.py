@@ -380,6 +380,7 @@ def _apply_doc_update(
     batch: DataFrame,
     update_exclude: tuple[str, ...],
     update_exclude_key: str | None = None,
+    suppress_doc_wrap: bool = False,
 ) -> DataFrame:
     """P13: the ``{"doc": record}`` partial-update body
     (update_body, out_opensearch.rb:776-790): matched rows take the
@@ -391,21 +392,35 @@ def _apply_doc_update(
     (remove_keys_on_update_key, out_opensearch.rb:792-799): a record
     field holding a comma-separated list of keys to exclude for THAT
     row — a per-row CASE on each column instead of a static list.
+
+    ``suppress_doc_wrap`` (out_opensearch.rb:171,776-780) skips the
+    ``{"doc": ...}`` wrap: the keys-removed record IS the update body,
+    replacing the stored doc wholesale — an excluded/absent key yields
+    NULL instead of preserving the existing value (the wrap is exactly
+    what gives absent-key-keeps-value merge semantics).
     """
     upd_cols = {c for c in batch.columns if c != ID_KEY and c not in update_exclude}
     if update_exclude_key:
         upd_cols.discard(update_exclude_key)
     e, b = existing.alias("e"), batch.alias("b")
+    schema = {f.name: f.dataType for f in existing.schema.fields}
+
+    def keep_existing(c: str):
+        # wrapped update: absent key keeps stored value; unwrapped
+        # (suppress_doc_wrap): absent key is simply absent → NULL
+        if suppress_doc_wrap:
+            return F.lit(None).cast(schema[c])
+        return F.col(f"e.{c}")
 
     def value(c: str):
         if c not in upd_cols:
-            return F.col(f"e.{c}")
+            return keep_existing(c)
         if update_exclude_key and update_exclude_key in batch.columns:
             dyn_excluded = F.array_contains(
                 F.split(F.coalesce(F.col(f"b.{update_exclude_key}"), F.lit("")), r"\s*,\s*"),
                 c,
             )
-            return F.when(dyn_excluded, F.col(f"e.{c}")).otherwise(F.col(f"b.{c}"))
+            return F.when(dyn_excluded, keep_existing(c)).otherwise(F.col(f"b.{c}"))
         return F.col(f"b.{c}")
 
     return e.join(b, F.col(f"e.{ID_KEY}") == F.col(f"b.{ID_KEY}"), "inner").select(
@@ -487,13 +502,19 @@ def merge_write(
             merged = existing_t.unionByName(fresh)
             stats = {"input": n_batch, "written": n_fresh, "duplicates": n_batch - n_fresh}
         elif op == OP_UPDATE:
-            matched = _apply_doc_update(existing_t, batch, cfg.remove_keys_on_update, cfg.remove_keys_on_update_key)
+            matched = _apply_doc_update(
+                existing_t, batch, cfg.remove_keys_on_update,
+                cfg.remove_keys_on_update_key, cfg.suppress_doc_wrap,
+            )
             cached.append(matched.persist())
             n_upd = matched.count()
             merged = existing_t.join(batch_ids, on=ID_KEY, how="left_anti").unionByName(matched)
             stats = {"input": n_batch, "written": n_upd, "duplicates": 0}
         elif op == OP_UPSERT:
-            matched = _apply_doc_update(existing_t, batch, cfg.remove_keys_on_update, cfg.remove_keys_on_update_key)
+            matched = _apply_doc_update(
+                existing_t, batch, cfg.remove_keys_on_update,
+                cfg.remove_keys_on_update_key, cfg.suppress_doc_wrap,
+            )
             inserted = batch.join(existing.select(ID_KEY).distinct(), on=ID_KEY, how="left_anti")
             merged = (
                 existing_t.join(batch_ids, on=ID_KEY, how="left_anti")
