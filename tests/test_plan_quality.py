@@ -116,3 +116,17 @@ def test_pandas_udf_twin_uses_arrow(spark):
     a = parse_text(df).select("level", "req_id", "duration_ms", "message", "parse_ok").collect()
     b = parse_text_pandas(df).select("level", "req_id", "duration_ms", "message", "parse_ok").collect()
     assert a == b
+
+
+def test_grok_pandas_uses_arrow(spark):
+    """The grok-dialect escape hatch (VERDICT r2 item 8) must be
+    Arrow-batched, never row-at-a-time Python."""
+    from fluent_plugin_opensearch_spark.operators.parse import parse_grok_pandas
+
+    df = spark.createDataFrame([("[INFO] req=1 took=2ms x",)], "text string")
+    plan = _plan(parse_grok_pandas(df, "%{REQLINE}", {
+        "NUM": r"\d+",
+        "REQLINE": r"^\[%{WORD:level}\] req=%{NUM:req_id} took=%{NUM:took_ms}ms %{GREEDYDATA:msg}$",
+    }, types={"took_ms": "bigint"}))
+    assert "ArrowEvalPython" in plan
+    assert "BatchEvalPython" not in plan
