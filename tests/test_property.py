@@ -229,3 +229,62 @@ def test_flatten_random_nested_schemas(spark):
         got = flatten_struct_cols(df, "_").collect()[0].asDict()
         want = flat("", schema, row, {})
         assert got == want, ddl
+
+
+def test_prune_markers_random_model():
+    """Random-parity model test for the marker GC (CLAUDE.md invariant:
+    property-test new hand-rolled logic): for random marker universes,
+    pruning keeps exactly the top-K numeric suffixes per prefix and
+    every non-numeric token, and is idempotent."""
+    import random
+
+    from fluent_plugin_opensearch_spark.sinks.writer import _prune_markers
+
+    rng = random.Random(41)
+    for _ in range(20):
+        universe = set()
+        streams = {f"stream-{rng.randrange(1000):03x}" for _ in range(rng.randrange(1, 5))}
+        for s in streams:
+            for _ in range(rng.randrange(0, 30)):
+                universe.add(f"{s}-{rng.randrange(500)}")
+        for _ in range(rng.randrange(0, 3)):
+            universe.add(f"token{rng.randrange(10)}x")  # non-numeric suffix
+        keep = rng.randrange(1, 12)
+        got = set(_prune_markers(universe, keep))
+        # independent model
+        want = {m for m in universe if not m.rpartition("-")[2].isdigit() or not m.rpartition("-")[0]}
+        by_prefix = {}
+        for m in universe - want:
+            p, _, s = m.rpartition("-")
+            by_prefix.setdefault(p, []).append(int(s))
+        for p, ids in by_prefix.items():
+            for i in sorted(ids)[-keep:]:
+                want.add(f"{p}-{i}")
+        assert got == want
+        assert set(_prune_markers(got, keep)) == got  # idempotent
+
+
+def test_grok_compile_random_parity():
+    """Random grok dictionaries: expansion must extract exactly what an
+    independently-built plain regex extracts on synthesized lines."""
+    import random
+    import re
+
+    from fluent_plugin_opensearch_spark.operators.parse import grok_compile
+
+    rng = random.Random(17)
+    atoms = {"A": r"[a-z]+", "B": r"\d+", "C": r"[A-Z]{2}"}
+    gen = {"A": lambda: _rand_str(rng, rng.randrange(1, 6)),
+           "B": lambda: str(rng.randrange(10**4)),
+           "C": lambda: "".join(rng.choice("QWERTY") for _ in range(2))}
+    for _ in range(25):
+        names = [rng.choice("ABC") for _ in range(rng.randrange(1, 5))]
+        fields = [f"f{i}" for i in range(len(names))]
+        grok = " ".join(f"%{{{n}:{f}}}" for n, f in zip(names, fields))
+        plain = " ".join(f"({atoms[n]})" for n in names)
+        line = " ".join(gen[n]() for n in names)
+        m = re.match(grok_compile(grok, atoms), line)
+        w = re.match(plain, line)
+        assert (m is None) == (w is None)
+        if m:
+            assert [m.group(f) for f in fields] == list(w.groups())

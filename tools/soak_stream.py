@@ -40,20 +40,13 @@ def main(n_batches: int = 200, compact_every: int = 25) -> dict:
     shutil.rmtree(root, ignore_errors=True)
     src, wh, ck = f"{root}/src", f"{root}/wh", f"{root}/ck"
 
-    # n_batches single-file appends: one parquet file per micro-batch
+    # n_batches part files (one micro-batch each under
+    # maxFilesPerTrigger=1) — written BY Spark so the timestamp_ntz
+    # logical type round-trips (pyarrow INT64 timestamps don't)
     t = load_transcripts(spark, "/root/testdata/sf0.001").cache()
-    n_rows = t.count()
-    per = max(1, n_rows // n_batches)
-    pdf = t.toPandas()
-    os.makedirs(src, exist_ok=True)
-    import pyarrow as pa
-    import pyarrow.parquet as pq
-
-    for i in range(n_batches):
-        lo = i * per
-        hi = n_rows if i == n_batches - 1 else (i + 1) * per
-        pq.write_table(pa.Table.from_pandas(pdf.iloc[lo:hi], preserve_index=False),
-                       f"{src}/part-{i:05d}.parquet")
+    t.repartition(n_batches).write.parquet(src)
+    n_files = len([f for f in os.listdir(src) if f.endswith(".parquet")])
+    assert n_files >= n_batches * 0.95, f"only {n_files} source files"
 
     source = (
         spark.readStream.schema(TRANSCRIPTS_SCHEMA)
