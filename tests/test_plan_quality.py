@@ -130,3 +130,25 @@ def test_grok_pandas_uses_arrow(spark):
     }, types={"took_ms": "bigint"}))
     assert "ArrowEvalPython" in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_embedding_lsh_explode_exchange_is_narrow(spark):
+    """100 TB plan shape for the multi-band sign-LSH near-dup: the
+    exploded (band, bucket) rows must NOT carry the embedding vector —
+    vectors are joined back only for deduped candidates (the minhash
+    shingle-set pattern). Every Generate (explode) node's output is
+    (vec_id, band, bucket) projections only."""
+    import re
+
+    from fluent_plugin_opensearch_spark.operators import dataset as DS
+
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    plan = _plan(DS.embedding_neardup_pairs(emb, 0.99, n_bands=4, band_bits=4))
+    gen_ids = [m.group(1) for m in re.finditer(r"\((\d+)\) Generate", plan)]
+    assert gen_ids, "expected explode nodes in the LSH plan"
+    for gid in gen_ids:
+        m = re.search(rf"\({gid}\) Generate.*?Output \[\d+\]: \[(.*?)\]", plan, re.S)
+        cols = m.group(1)
+        assert " v#" not in cols and "nrm#" not in cols, (
+            f"explode output carries vector data: {cols}"
+        )
