@@ -828,6 +828,56 @@ def curate_corpus(
     return exact_docs.join(losers, id_col, "left_anti").select(id_col)
 
 
+def curate_corpus_semantic(
+    docs: DataFrame,
+    emb: DataFrame,
+    id_col: str = "doc_id",
+    emb_id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    emb_threshold: float = 0.99,
+    emb_n_bands: int = 4,
+    emb_band_bits: int = 4,
+    emb_direction_fn=None,
+    emb_max_bucket_size: int = 1000,
+    **curate_kwargs,
+) -> DataFrame:
+    """Text + SEMANTIC curation: the full ``curate_corpus`` chain
+    (quality → exact dedup → MinHash near-dup keep-one), then an
+    embedding-cosine near-dup stage over the survivors — the
+    semantic-dedup pass a multimodal training-data pipeline runs after
+    lexical dedup (paraphrases and translations share embeddings, not
+    shingles).
+
+    ``emb`` maps ``emb_id_col`` → ``vec_col`` for (at least) the doc
+    ids in ``docs``; docs without an embedding pass through the
+    semantic stage untouched. Plan shape: the text chain + one
+    semi-join to scope embeddings to survivors + the multi-band
+    sign-LSH pair stage + star-CC — still no all-pairs work anywhere.
+    Keep-one rule matches the text stage: cluster minimum survives.
+    Returns the kept ``id_col`` set."""
+    kept = curate_corpus(docs, id_col=id_col, **curate_kwargs)
+    kept_emb = emb.join(
+        kept.select(F.col(id_col).alias(emb_id_col)), emb_id_col, "left_semi"
+    )
+    pairs = embedding_neardup_pairs(
+        kept_emb,
+        threshold=emb_threshold,
+        id_col=emb_id_col,
+        vec_col=vec_col,
+        n_bands=emb_n_bands,
+        band_bits=emb_band_bits,
+        direction_fn=emb_direction_fn,
+        max_bucket_size=emb_max_bucket_size,
+    )
+    clusters = dedup_clusters_star(
+        pairs.select(F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b"))
+    )
+    losers = clusters.filter(F.col("doc_id") != F.col("cluster_id")).select(
+        F.col("doc_id").alias(id_col)
+    )
+    return kept.join(losers, id_col, "left_anti").select(id_col)
+
+
 # ---------------------------------------------------------------------------
 # Text analysis
 # ---------------------------------------------------------------------------

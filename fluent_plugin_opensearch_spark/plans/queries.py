@@ -1228,9 +1228,10 @@ def q_curated_corpus(spark, sf_dir):
     )
 
 
-O_CURATED_CORPUS = (
-    "WITH RECURSIVE "
-    + r"""qtoks AS (
+#: shared CTE chain: quality gate → exact dedup → md5 minhash near-dup
+#: clusters (recursive CTE) → ``text_kept`` = the text-curated doc set
+_CURATE_TEXT_CTES = (
+    r"""qtoks AS (
   SELECT doc_id, length(text) AS n_chars, string_split_regex(trim(text), '\s+') AS t
   FROM documents),
 quality AS (
@@ -1250,9 +1251,85 @@ reach(id, r) AS (
   UNION
   SELECT reach.id, e.dst FROM reach JOIN edges e ON reach.r = e.src),
 clusters AS (SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id),
-losers AS (SELECT doc_id FROM clusters WHERE doc_id != cluster_id)
-SELECT doc_id FROM kept WHERE doc_id NOT IN (SELECT doc_id FROM losers)"""
+losers AS (SELECT doc_id FROM clusters WHERE doc_id != cluster_id),
+text_kept AS (
+  SELECT doc_id FROM kept WHERE doc_id NOT IN (SELECT doc_id FROM losers))"""
 )
+
+O_CURATED_CORPUS = "WITH RECURSIVE " + _CURATE_TEXT_CTES + "\nSELECT doc_id FROM text_kept"
+
+
+def q_curated_corpus_semantic(spark, sf_dir):
+    """Text + SEMANTIC curation end-to-end, fully oracle-checked: the
+    whole ``curated_corpus`` chain, then embedding-cosine near-dup
+    keep-one over the survivors (multi-band md5 sign-LSH → exact cosine
+    → star-CC). Five semantic twins are planted by overwriting the
+    embeddings of docs 5-9 with 1.001× the embeddings of docs 0-4, so
+    the semantic stage must drop the higher id of each surviving pair —
+    DuckDB recomputes every stage including the LSH bucketing."""
+    emb = _emb(spark, sf_dir).select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
+    )
+    twins = emb.filter(F.col("vec_id") < 5).select(
+        (F.col("vec_id") + 5).alias("vec_id"),
+        F.transform("embedding", lambda x: x * 1.001).alias("embedding"),
+    )
+    emb2 = emb.filter(~F.col("vec_id").between(5, 9)).unionByName(twins)
+    return DS.curate_corpus_semantic(
+        _docs(spark, sf_dir),
+        emb2,
+        emb_direction_fn=DS.md5_direction,
+        hasher=DS._md5_hasher,
+        bucket_by_values=True,
+        max_bucket_size=1_000_000,  # text-stage oracle parity (see q_curated_corpus)
+    )
+
+
+def _o_curated_semantic() -> str:
+    return (
+        "WITH RECURSIVE "
+        + _CURATE_TEXT_CTES
+        + f""",
+emb_d AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v0 FROM embeddings),
+emb_p AS (
+  SELECT vec_id + 5 AS vec_id, list_transform(v0, x -> x * 1.001) AS v0
+  FROM emb_d WHERE vec_id < 5
+  UNION ALL
+  SELECT vec_id, v0 FROM emb_d WHERE vec_id NOT BETWEEN 5 AND 9),
+kept_emb AS (
+  SELECT e.vec_id, e.v0 AS v FROM emb_p e JOIN text_kept k ON e.vec_id = k.doc_id),
+nsem AS (
+  SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm,
+         {_emb_band_bucket_sql(0)} AS b0,
+         {_emb_band_bucket_sql(1)} AS b1,
+         {_emb_band_bucket_sql(2)} AS b2,
+         {_emb_band_bucket_sql(3)} AS b3
+  FROM kept_emb),
+sbands AS (
+  SELECT vec_id, 0 AS band, b0 AS bucket FROM nsem
+  UNION ALL SELECT vec_id, 1, b1 FROM nsem
+  UNION ALL SELECT vec_id, 2, b2 FROM nsem
+  UNION ALL SELECT vec_id, 3, b3 FROM nsem),
+scand AS (
+  SELECT DISTINCT a.vec_id AS va, b.vec_id AS vb
+  FROM sbands a JOIN sbands b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id),
+spairs AS (
+  SELECT va, vb FROM scand
+  JOIN nsem na ON na.vec_id = va
+  JOIN nsem nb ON nb.vec_id = vb
+  WHERE list_dot_product(na.v, nb.v) / (na.nrm * nb.nrm) >= 0.99),
+sedges AS (
+  SELECT va AS src, vb AS dst FROM spairs UNION SELECT vb, va FROM spairs),
+sreach(id, r) AS (
+  SELECT DISTINCT src, src FROM sedges
+  UNION
+  SELECT sreach.id, e.dst FROM sreach JOIN sedges e ON sreach.r = e.src),
+sclusters AS (SELECT id, min(r) AS cid FROM sreach GROUP BY id),
+slosers AS (SELECT id FROM sclusters WHERE id != cid)
+SELECT doc_id FROM text_kept WHERE doc_id NOT IN (SELECT id FROM slosers)"""
+    )
 
 
 # --- rows-only (non-SQL-expressible / engine-specific hash functions) ---
@@ -1463,6 +1540,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_clusters": q_dedup_clusters,
     "curated_corpus": q_curated_corpus,
     "embedding_neardup_lsh_md5": q_embedding_neardup_lsh_md5,
+    "curated_corpus_semantic": q_curated_corpus_semantic,
     "ivf_recall": q_ivf_recall,
     # rows-only checks (engine-specific hashing / pandas-UDF stages)
     "simhash_neardup": q_simhash_neardup,
@@ -1522,6 +1600,7 @@ ORACLES: dict[str, str] = {
     "ngram_jaccard": O_NGRAM_JACCARD,
     "ivf_topk_md5": O_IVF_TOPK_MD5,
     "embedding_neardup_lsh_md5": O_EMBEDDING_NEARDUP_LSH,
+    "curated_corpus_semantic": _o_curated_semantic(),
     "ivf_recall": O_IVF_RECALL,
     "dedup_clusters": O_DEDUP_CLUSTERS,
     "curated_corpus": O_CURATED_CORPUS,

@@ -464,3 +464,30 @@ def test_parse_grok_pandas_named_fields(spark):
     assert rows[0]["grok_ok"] is True
     assert rows[1]["grok_ok"] is False and rows[1]["level"] is None
     assert rows[2]["grok_ok"] is False
+
+
+def test_curate_corpus_semantic_planted(spark):
+    """Semantic stage after text curation: two docs with different
+    texts (lexically distinct → text stages keep both) but near-
+    identical embeddings must collapse to the lower id; docs without a
+    semantic twin pass through."""
+    a = " ".join(f"w{i:02d}" for i in range(40))
+    b = " ".join(f"x{i:02d}" for i in range(40))
+    c = " ".join(f"y{i:02d}" for i in range(40))
+    docs = spark.createDataFrame(
+        [(1, a), (2, b), (3, c)], "doc_id bigint, text string"
+    )
+    v1 = [float((i * 7) % 13 - 6) for i in range(16)]
+    emb = spark.createDataFrame(
+        [
+            (1, v1),
+            (2, [x * 1.001 for x in v1]),  # semantic twin of doc 1
+            (3, [float((i * 5) % 11 - 5) for i in range(16)]),
+        ],
+        "vec_id bigint, embedding array<double>",
+    )
+    kept = {
+        r["doc_id"]
+        for r in DS.curate_corpus_semantic(docs, emb, min_jaccard=0.5).collect()
+    }
+    assert kept == {1, 3}

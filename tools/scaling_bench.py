@@ -153,13 +153,19 @@ untimed passes), best of 3 steady-state passes;
         "Produced by tools/scaling_bench.py (two-parallelism evidence "
         "protocol from BASELINE.md; sandbox has no real cluster).\n"
     )
-    # keep ONE measured section: replace everything after the header
+    # keep ONE measured section: splice out ONLY the old "## Measured
+    # scaling" block, preserving every other section (Round-over-round,
+    # Context, ...) that follows it
     existing = open(path).read() if os.path.exists(path) else header
     cut = existing.find("\n## Measured scaling")
-    base = existing[:cut] if cut != -1 else existing
-    context = existing[existing.find("\n## Context") :] if "\n## Context" in existing else ""
+    if cut == -1:
+        base, rest = existing, ""
+    else:
+        base = existing[:cut]
+        nxt = existing.find("\n## ", cut + 1)
+        rest = existing[nxt:] if nxt != -1 else ""
     with open(path, "w") as f:
-        f.write(base + md + context)
+        f.write(base + md + rest)
     print(f"wrote {path}")
 
 
