@@ -123,11 +123,22 @@ def top_k_per_day(df: DataFrame, k: int = 3) -> DataFrame:
     partial-agg shuffle + one window shuffle — the standard top-k plan;
     at scale the pre-aggregation keeps the window input at
     |days × convs-with-traffic|, never raw rows."""
-    day = F.date_format("ts", "yyyy-MM-dd").alias("day")
-    counts = df.groupBy(day, "conv_id").agg(F.count(F.lit(1)).alias("n_turns"))
-    w = Window.partitionBy("day").orderBy(F.desc("n_turns"), F.col("conv_id"))
+    return _top_k_per_bucket(df, "yyyy-MM-dd", "day", k)
+
+
+def top_k_per_hour(df: DataFrame, k: int = 3) -> DataFrame:
+    """Hour-grain heavy hitters — the bucket the STREAMING path emits
+    per watermark-closed window (streaming/stream.py twin); same
+    pre-aggregate-then-window plan as top_k_per_day."""
+    return _top_k_per_bucket(df, "yyyy-MM-dd HH", "hour", k)
+
+
+def _top_k_per_bucket(df: DataFrame, fmt: str, bucket_name: str, k: int) -> DataFrame:
+    bucket = F.date_format("ts", fmt).alias(bucket_name)
+    counts = df.groupBy(bucket, "conv_id").agg(F.count(F.lit(1)).alias("n_turns"))
+    w = Window.partitionBy(bucket_name).orderBy(F.desc("n_turns"), F.col("conv_id"))
     return (
         counts.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
-        .select("day", "conv_id", "n_turns", "rank")
+        .select(bucket_name, "conv_id", "n_turns", "rank")
     )

@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..config import PipelineConfig
+from ..operators import curation as CU
 from ..operators import dataset as DS
 from ..operators.classify import classify
 from ..operators.enrich import ROLE_DICT_SQL, TOOL_DICT_SQL, enrich
@@ -1488,6 +1489,165 @@ FROM s"""
 
 
 # ---------------------------------------------------------------------------
+# Corpus curation (operators/curation.py) — PII, contamination,
+# dataset-mixing samplers, sequence packing, hourly heavy hitters
+# ---------------------------------------------------------------------------
+
+def _docs_with_pii(spark, sf_dir):
+    """documents with deterministic synthetic PII appended (the corpus
+    text is word soup, so the redaction targets are synthesized the
+    same way q_time_key_parse synthesizes time strings — identical
+    expression in the oracle)."""
+    pii_text = F.concat(
+        F.col("text"),
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(F.lit(" contact user"), F.col("doc_id").cast("string"), F.lit("@example.com")),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 4 == 0,
+            F.concat(
+                F.lit(" ip=10.0."),
+                (F.col("doc_id") % 256).cast("string"),
+                F.lit("."),
+                (F.col("doc_id") % 100).cast("string"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(F.lit(" ssn=123-45-"), F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0")),
+        ).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 7 == 0, F.lit(" call 555-867-5309")).otherwise(F.lit("")),
+    )
+    return _docs(spark, sf_dir).select("doc_id", pii_text.alias("text"))
+
+
+def q_pii_redaction(spark, sf_dir):
+    """PII masking + per-class match counts (codegen projection)."""
+    return CU.redact_pii(_docs_with_pii(spark, sf_dir))
+
+
+_SQL_PII_TEXT = """
+  SELECT doc_id, concat(text,
+    CASE WHEN doc_id % 3 = 0 THEN concat(' contact user', cast(doc_id AS STRING), '@example.com') ELSE '' END,
+    CASE WHEN doc_id % 4 = 0 THEN concat(' ip=10.0.', cast(doc_id % 256 AS STRING), '.', cast(doc_id % 100 AS STRING)) ELSE '' END,
+    CASE WHEN doc_id % 5 = 0 THEN concat(' ssn=123-45-', lpad(cast(doc_id % 10000 AS STRING), 4, '0')) ELSE '' END,
+    CASE WHEN doc_id % 7 = 0 THEN ' call 555-867-5309' ELSE '' END) AS text
+  FROM documents"""
+
+O_PII_REDACTION = rf"""
+WITH pii AS ({_SQL_PII_TEXT})
+SELECT doc_id,
+  regexp_replace(regexp_replace(regexp_replace(regexp_replace(text,
+    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{{2,}}', '<EMAIL>', 'g'),
+    '\b\d{{1,3}}\.\d{{1,3}}\.\d{{1,3}}\.\d{{1,3}}\b', '<IP>', 'g'),
+    '\b\d{{3}}-\d{{2}}-\d{{4}}\b', '<SSN>', 'g'),
+    '\b\d{{3}}-\d{{3}}-\d{{4}}\b', '<PHONE>', 'g') AS redacted,
+  CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{{2,}}')) AS BIGINT) AS n_email,
+  CAST(len(regexp_extract_all(text, '\b\d{{1,3}}\.\d{{1,3}}\.\d{{1,3}}\.\d{{1,3}}\b')) AS BIGINT) AS n_ip,
+  CAST(len(regexp_extract_all(text, '\b\d{{3}}-\d{{2}}-\d{{4}}\b')) AS BIGINT) AS n_ssn,
+  CAST(len(regexp_extract_all(text, '\b\d{{3}}-\d{{3}}-\d{{4}}\b')) AS BIGINT) AS n_phone
+FROM pii"""
+
+
+def q_contamination(spark, sf_dir):
+    """Benchmark decontamination: the 'benchmark' is tokens 5..12 of
+    every 20th doc (a planted eval suite), detected via exact 8-gram
+    overlap with the broadcast-bench equi-join."""
+    docs = _docs(spark, sf_dir)
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    bench = (
+        docs.filter(F.col("doc_id") % 20 == 0)
+        .select(
+            F.col("doc_id").alias("bench_id"),
+            F.array_join(F.slice(toks, 5, 8), " ").alias("text"),
+        )
+        .filter(F.size(F.split(F.trim(F.col("text")), r"\s+")) >= 8)
+    )
+    return CU.contamination_check(docs, bench, n=8)
+
+
+O_CONTAMINATION = r"""
+WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents),
+bench AS (SELECT doc_id AS bench_id, array_to_string(t[5:12], ' ') AS ngram
+          FROM toks WHERE doc_id % 20 = 0 AND len(t) >= 12),
+doc_ngrams AS (SELECT doc_id, array_to_string(t[CAST(i AS INT):CAST(i + 7 AS INT)], ' ') AS ngram
+               FROM toks, unnest(range(1, len(t) - 6)) AS u(i)),
+hits AS (SELECT DISTINCT d.doc_id, b.bench_id FROM doc_ngrams d JOIN bench b ON d.ngram = b.ngram)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bench_hits, CAST(min(bench_id) AS BIGINT) AS first_bench_id
+FROM hits GROUP BY doc_id"""
+
+#: mixing weights used by the stratified_sample query (per-mille)
+_STRAT_RATES = {"src0": 800, "src1": 500, "src2": 250, "src3": 100}
+
+
+def q_stratified_sample(spark, sf_dir):
+    """Deterministic hash-bucket mixing weights per source; output is
+    the kept-set profile (count + id checksum) per stratum."""
+    samp = CU.stratified_sample(_docs(spark, sf_dir), _STRAT_RATES, default_permille=50)
+    return samp.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_kept"), F.sum("doc_id").alias("id_sum")
+    )
+
+
+O_STRATIFIED = r"""
+SELECT source, CAST(count(*) AS BIGINT) AS n_kept, CAST(sum(doc_id) AS BIGINT) AS id_sum
+FROM documents
+WHERE ('0x' || substr(md5(concat('strat#0', cast(doc_id AS STRING))), 1, 15))::BIGINT % 1000 <
+  CASE source WHEN 'src0' THEN 800 WHEN 'src1' THEN 500 WHEN 'src2' THEN 250 WHEN 'src3' THEN 100 ELSE 50 END
+GROUP BY source"""
+
+
+def q_quota_sample(spark, sf_dir):
+    """Top-5 docs per source by n_chars (quota sampling)."""
+    return CU.quota_top_per_stratum(_docs(spark, sf_dir), quota=5)
+
+
+O_QUOTA = r"""
+SELECT source, doc_id, n_chars, CAST(rank AS INT) AS rank FROM (
+  SELECT source, doc_id, n_chars,
+         row_number() OVER (PARTITION BY source ORDER BY n_chars DESC, doc_id) AS rank
+  FROM documents) WHERE rank <= 5"""
+
+
+def q_sequence_packing(spark, sf_dir):
+    """Concat-then-chunk packing spans at budget 128 (block size 64 so
+    the sf0.01 corpus exercises multiple prefix-sum blocks)."""
+    return CU.pack_sequences(_docs(spark, sf_dir), budget=128, block_size=64)
+
+
+O_PACKING = r"""
+WITH tc AS (SELECT doc_id, CAST(len(regexp_extract_all(text, '[A-Za-z]+|\d+|[^\sA-Za-z\d]')) AS BIGINT) AS n_tokens FROM documents),
+c AS (SELECT doc_id, n_tokens,
+        CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_off
+      FROM tc)
+SELECT doc_id, n_tokens, start_off,
+  CAST(start_off // 128 AS BIGINT) AS first_pack,
+  CAST((start_off + greatest(n_tokens, 1) - 1) // 128 AS BIGINT) AS last_pack,
+  CAST((start_off + greatest(n_tokens, 1) - 1) // 128 - start_off // 128 + 1 AS BIGINT) AS n_packs
+FROM c"""
+
+
+def q_hourly_heavy_hitters(spark, sf_dir):
+    """Hour-grain heavy hitters (the streaming window's batch twin)."""
+    from ..operators.sessions import top_k_per_hour
+
+    return top_k_per_hour(_t(spark, sf_dir), k=3)
+
+
+O_HOURLY_HH = (
+    ORACLE_PREFIX
+    + """
+, counts AS (
+  SELECT strftime(ts, '%Y-%m-%d %H') AS hour, conv_id, count(*) AS n_turns
+  FROM transcripts GROUP BY 1, 2)
+SELECT hour, conv_id, n_turns,
+  CAST(row_number() OVER (PARTITION BY hour ORDER BY n_turns DESC, conv_id) AS INT) AS rank
+FROM counts QUALIFY rank <= 3"""
+)
+
+
+# ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
 
@@ -1542,6 +1702,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_neardup_lsh_md5": q_embedding_neardup_lsh_md5,
     "curated_corpus_semantic": q_curated_corpus_semantic,
     "ivf_recall": q_ivf_recall,
+    "pii_redaction": q_pii_redaction,
+    "contamination": q_contamination,
+    "stratified_sample": q_stratified_sample,
+    "quota_sample": q_quota_sample,
+    "sequence_packing": q_sequence_packing,
+    "hourly_heavy_hitters": q_hourly_heavy_hitters,
     # rows-only checks (engine-specific hashing / pandas-UDF stages)
     "simhash_neardup": q_simhash_neardup,
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
@@ -1605,4 +1771,10 @@ ORACLES: dict[str, str] = {
     "dedup_clusters": O_DEDUP_CLUSTERS,
     "curated_corpus": O_CURATED_CORPUS,
     "multimodal_features": O_MULTIMODAL,
+    "pii_redaction": O_PII_REDACTION,
+    "contamination": O_CONTAMINATION,
+    "stratified_sample": O_STRATIFIED,
+    "quota_sample": O_QUOTA,
+    "sequence_packing": O_PACKING,
+    "hourly_heavy_hitters": O_HOURLY_HH,
 }

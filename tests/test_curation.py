@@ -1,0 +1,182 @@
+"""Corpus-curation operators (operators/curation.py): PII redaction,
+benchmark contamination, deterministic samplers, sequence packing,
+hourly heavy hitters — planted-value unit tests plus the scale-shape
+assertions (blocked prefix-sum equivalence, broadcast bench join,
+no Python in any plan)."""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import functions as F
+
+from fluent_plugin_opensearch_spark.operators import curation as CU
+from fluent_plugin_opensearch_spark.operators.sessions import top_k_per_hour
+
+from .conftest import SF_SMOKE
+
+
+def _plan(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
+
+
+# ---------------------------------------------------------------------------
+# PII redaction
+# ---------------------------------------------------------------------------
+
+def test_redact_pii_planted(spark):
+    rows = [
+        (0, "mail me at jane.doe+spam@corp.example.org today"),
+        (1, "server 192.168.1.254 answered 10.0.0.7"),
+        (2, "ssn 123-45-6789 phone 555-123-4567"),
+        (3, "clean text with numbers 12345 and 1.5 ratios"),
+        (4, "two mails: a@b.io c.d@e-f.co"),
+    ]
+    out = {
+        r["doc_id"]: r
+        for r in CU.redact_pii(spark.createDataFrame(rows, ["doc_id", "text"])).collect()
+    }
+    assert out[0]["redacted"] == "mail me at <EMAIL> today"
+    assert out[0]["n_email"] == 1
+    assert out[1]["redacted"] == "server <IP> answered <IP>"
+    assert out[1]["n_ip"] == 2
+    assert out[2]["redacted"] == "ssn <SSN> phone <PHONE>"
+    assert (out[2]["n_ssn"], out[2]["n_phone"]) == (1, 1)
+    # no false positives: decimals / plain ints untouched
+    assert out[3]["redacted"] == rows[3][1]
+    assert sum(out[3][c] for c in ("n_email", "n_ip", "n_ssn", "n_phone")) == 0
+    assert out[4]["n_email"] == 2 and "<EMAIL> <EMAIL>" in out[4]["redacted"]
+
+
+def test_redact_pii_is_pure_codegen(spark):
+    df = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    plan = _plan(CU.redact_pii(df))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "Exchange" not in plan  # projection only — no shuffle
+
+
+# ---------------------------------------------------------------------------
+# Contamination
+# ---------------------------------------------------------------------------
+
+def test_contamination_planted(spark):
+    bench_span = "alpha beta gamma delta epsilon zeta eta theta"
+    docs = spark.createDataFrame(
+        [
+            (0, f"prefix words {bench_span} suffix words here"),  # hit
+            (1, "totally unrelated text with many words " * 3),  # clean
+            (2, f"{bench_span} at the very start"),  # hit at offset 0
+            (3, "alpha beta gamma delta epsilon zeta eta"),  # only 7-gram: no hit
+        ],
+        ["doc_id", "text"],
+    )
+    bench = spark.createDataFrame([(100, bench_span)], ["bench_id", "text"])
+    got = {r["doc_id"]: r for r in CU.contamination_check(docs, bench, n=8).collect()}
+    assert set(got) == {0, 2}
+    assert got[0]["n_bench_hits"] == 1 and got[0]["first_bench_id"] == 100
+
+
+def test_contamination_bench_side_broadcast(spark):
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    bench = docs.limit(5).select(F.col("doc_id").alias("bench_id"), "text")
+    plan = _plan(CU.contamination_check(docs, bench, n=8))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+# ---------------------------------------------------------------------------
+# Samplers
+# ---------------------------------------------------------------------------
+
+def test_stratified_sample_monotone_and_layout_stable(spark):
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    lo = CU.stratified_sample(docs, {"src0": 200}, default_permille=100)
+    hi = CU.stratified_sample(docs, {"src0": 700}, default_permille=400)
+    lo_ids = {r["doc_id"] for r in lo.select("doc_id").collect()}
+    hi_ids = {r["doc_id"] for r in hi.select("doc_id").collect()}
+    assert lo_ids < hi_ids  # raising every rate keeps a strict superset
+    # partition-layout independence: same kept set after repartition
+    re_ids = {
+        r["doc_id"]
+        for r in CU.stratified_sample(docs.repartition(7), {"src0": 200}, default_permille=100)
+        .select("doc_id")
+        .collect()
+    }
+    assert re_ids == lo_ids
+
+
+def test_quota_top_per_stratum_bounds(spark):
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    out = CU.quota_top_per_stratum(docs, quota=4).collect()
+    per = {}
+    for r in out:
+        per.setdefault(r["source"], []).append(r)
+    n_sources = docs.select("source").distinct().count()
+    assert len(per) == n_sources
+    for rows in per.values():
+        assert 1 <= len(rows) <= 4
+        assert sorted(r["rank"] for r in rows) == list(range(1, len(rows) + 1))
+        # ranks follow n_chars desc
+        ordered = sorted(rows, key=lambda r: r["rank"])
+        chars = [r["n_chars"] for r in ordered]
+        assert chars == sorted(chars, reverse=True)
+
+
+# ---------------------------------------------------------------------------
+# Sequence packing
+# ---------------------------------------------------------------------------
+
+def test_pack_sequences_blocked_prefix_sum_equivalence(spark):
+    """The two-phase blocked prefix-sum must be exact: identical output
+    for any block size (1 block ≡ many blocks), including sparse /
+    shuffled ids."""
+    rng = random.Random(7)
+    ids = rng.sample(range(0, 10_000), 300)  # sparse, unordered ids
+    rows = [(i, "tok " * rng.randint(0, 50)) for i in ids]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"]).repartition(5)
+    outs = []
+    for bs in (17, 1_000_000):
+        out = CU.pack_sequences(docs, budget=64, block_size=bs)
+        outs.append(sorted(tuple(r) for r in out.collect()))
+    assert outs[0] == outs[1]
+
+
+def test_pack_sequences_invariants(spark):
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    rows = sorted(CU.pack_sequences(docs, budget=100, block_size=50).collect(),
+                  key=lambda r: r["doc_id"])
+    off = 0
+    for r in rows:
+        assert r["start_off"] == off  # exclusive prefix sum in id order
+        off += r["n_tokens"]
+        assert r["first_pack"] == r["start_off"] // 100
+        assert r["last_pack"] >= r["first_pack"]
+        assert r["n_packs"] == r["last_pack"] - r["first_pack"] + 1
+        # a doc never spans more windows than its token count requires
+        assert r["n_packs"] <= max(r["n_tokens"], 1) // 100 + 2
+
+
+# ---------------------------------------------------------------------------
+# Hourly heavy hitters
+# ---------------------------------------------------------------------------
+
+def test_top_k_per_hour_matches_manual(spark):
+    from fluent_plugin_opensearch_spark import load_transcripts
+
+    t = load_transcripts(spark, SF_SMOKE)
+    got = top_k_per_hour(t, k=2).collect()
+    manual = (
+        t.groupBy(F.date_format("ts", "yyyy-MM-dd HH").alias("hour"), "conv_id")
+        .agg(F.count(F.lit(1)).alias("n_turns"))
+        .collect()
+    )
+    best = {}
+    for r in manual:
+        best.setdefault(r["hour"], []).append((-r["n_turns"], r["conv_id"]))
+    for hour, entries in best.items():
+        want = sorted(entries)[:2]
+        have = sorted(
+            (-r["n_turns"], r["conv_id"]) for r in got if r["hour"] == hour
+        )
+        assert have == want, hour
