@@ -328,3 +328,119 @@ def test_checkpoint_reset_gets_fresh_marker_scope(spark, tmp_path):
     q2 = start_pipeline_stream(spark, read_transcript_stream(spark, src_dir), CFG, cat, ck)
     q2.awaitTermination(120)
     assert cat.read(spark, "sink").count() == 2 * n1, "reset run was marker-skipped"
+
+
+def test_heavy_hitter_rollup_stream_parity(spark, tmp_path):
+    """Streamed windowed rollup (update-mode upsert MERGE into the
+    catalog) followed by query-time rank equals the batch
+    top_k_per_hour EXACTLY, across a multi-batch drain."""
+    from fluent_plugin_opensearch_spark.operators.sessions import top_k_per_hour
+    from fluent_plugin_opensearch_spark.streaming.stream import (
+        TRANSCRIPTS_SCHEMA,
+        heavy_hitter_rollup_stream,
+        top_k_from_rollup,
+    )
+
+    src_dir = str(tmp_path / "hh_src")
+    t = load_transcripts(spark, SF_SMOKE)
+    t.repartition(8).write.parquet(src_dir)
+    cat = SinkCatalog(str(tmp_path / "hh_wh"))
+    source = (
+        spark.readStream.schema(TRANSCRIPTS_SCHEMA)
+        .option("maxFilesPerTrigger", 2)  # force a multi-batch drain
+        .parquet(src_dir)
+    )
+    # the source files interleave the full 30-day span (no time order),
+    # so the watermark must cover the whole span for exact parity —
+    # with time-ordered arrival (the real stream) 24h suffices
+    q = heavy_hitter_rollup_stream(
+        spark, source, cat, str(tmp_path / "hh_ckpt"), window="1 hour", watermark="45 days"
+    )
+    q.awaitTermination(180)
+
+    rollup = cat.read(spark, "hh_rollup").select("hour", "conv_id", "n_turns")
+    got = {(r["hour"], r["conv_id"]): r["n_turns"] for r in rollup.collect()}
+    want = {
+        (r["hour"], r["conv_id"]): r["n_turns"]
+        for r in t.groupBy(
+            F.date_format("ts", "yyyy-MM-dd HH").alias("hour"), "conv_id"
+        )
+        .agg(F.count(F.lit(1)).alias("n_turns"))
+        .collect()
+    }
+    assert got == want  # cumulative upserts converge to exact counts
+
+    tk_stream = sorted(tuple(r) for r in top_k_from_rollup(rollup, k=3).collect())
+    tk_batch = sorted(tuple(r) for r in top_k_per_hour(t, k=3).collect())
+    assert tk_stream == tk_batch
+
+
+def test_heavy_hitters_sketch_misra_gries_bounds(spark, tmp_path):
+    """Bounded-state sketch: est ≤ true, undercount ≤ seen/(cap+1),
+    and every true heavy hitter above the MG threshold is retained —
+    on a skewed stream drained file-by-file."""
+    import datetime
+
+    from fluent_plugin_opensearch_spark.streaming.stream import (
+        TRANSCRIPTS_SCHEMA,
+        heavy_hitters_sketch_stream,
+    )
+
+    base = datetime.datetime(2024, 3, 1, 12, 0, 0)
+    rows = []
+    # one hour window: conv0 ×120, conv1 ×60, conv2 ×30, 90 singletons
+    freqs = [("conv0", 120), ("conv1", 60), ("conv2", 30)] + [
+        (f"tail{i}", 1) for i in range(90)
+    ]
+    i = 0
+    for conv, n in freqs:
+        for _ in range(n):
+            rows.append((conv, i, "user", "t", None, base + datetime.timedelta(seconds=i % 3500)))
+            i += 1
+    src_dir = str(tmp_path / "mg_src")
+    df = spark.createDataFrame(rows, schema=TRANSCRIPTS_SCHEMA)
+    df.repartition(6).write.parquet(src_dir)
+
+    capacity = 8
+    source = (
+        spark.readStream.schema(TRANSCRIPTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    out = heavy_hitters_sketch_stream(source, capacity=capacity)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("mg_sketch")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "mg_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    emitted = spark.table("mg_sketch").collect()
+    assert emitted, "sketch emitted nothing"
+    # latest summary per window = the max-seen emission
+    by_hour: dict[str, list] = {}
+    for r in emitted:
+        by_hour.setdefault(r["hour"], []).append(r)
+    for hour, rs in by_hour.items():
+        seen_max = max(r["seen"] for r in rs)
+        final = {r["conv_id"]: r["est_count"] for r in rs if r["seen"] == seen_max}
+        true = {
+            r["conv_id"]: r["n"]
+            for r in df.filter(F.date_format("ts", "yyyy-MM-dd HH") == hour)
+            .groupBy("conv_id")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        W = sum(true.values())
+        assert seen_max == W  # every row was observed exactly once
+        err = W / (capacity + 1)
+        assert len(final) <= capacity
+        for conv, est in final.items():
+            assert est <= true[conv]  # never overcounts
+            assert true[conv] - est <= err
+        for conv, n in true.items():
+            if n > err:  # guaranteed-retained heavy hitters
+                assert conv in final, (conv, n, err, final)
