@@ -59,6 +59,11 @@ BENCH_QUERIES = [
     "simhash_md5",
     "knn_label_vote",
     "dedup_clusters",
+    # round-3 additions (new keys only — pre-existing keys stay
+    # protocol-comparable across rounds)
+    "pii_redaction",
+    "contamination",
+    "sequence_packing",
 ]
 
 CFG = PipelineConfig(logstash_format=True, logstash_prefix="logs")

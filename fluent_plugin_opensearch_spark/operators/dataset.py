@@ -783,6 +783,8 @@ def curate_corpus(
     hasher=None,
     bucket_by_values: bool = False,
     max_bucket_size: int = 1000,
+    bench: DataFrame | None = None,
+    contamination_n: int = 8,
 ) -> DataFrame:
     """The end-to-end training-data curation pipeline, composed from
     the individual stages (each separately oracle-checked):
@@ -791,11 +793,16 @@ def curate_corpus(
         → exact dedup (keep lowest id per normalized fingerprint)
         → MinHash+LSH near-dup clusters → keep one doc per cluster
           (the cluster minimum — deterministic, reproducible corpus)
+        → [optional] benchmark decontamination: drop any survivor
+          sharing a word ``contamination_n``-gram with a ``bench``
+          item (curation.contamination_check — broadcast bench side)
 
     Returns the kept ``doc_id`` set. Plan shape: two semi-joins +
     the bucketed LSH chain + star-CC — no all-pairs work anywhere, so
     the composition scales exactly as far as its worst stage (the
-    banded self-join).
+    banded self-join). Decontamination runs over the SURVIVOR set
+    (smallest frame with an identical kept-set result, since dropped
+    docs are dropped either way).
 
     ``max_bucket_size`` defaults to the GUARDED 1000 (VERDICT r2
     item 3: the production composition must keep the mega-bucket guard
@@ -825,7 +832,15 @@ def curate_corpus(
     losers = clusters.filter(F.col("doc_id") != F.col("cluster_id")).select(
         F.col("doc_id").alias(id_col)
     )
-    return exact_docs.join(losers, id_col, "left_anti").select(id_col)
+    kept = exact_docs.join(losers, id_col, "left_anti")
+    if bench is not None:
+        from .curation import contamination_check
+
+        contaminated = contamination_check(
+            kept, bench, n=contamination_n, id_col=id_col, text_col=text_col
+        ).select(id_col)
+        kept = kept.join(contaminated, id_col, "left_anti")
+    return kept.select(id_col)
 
 
 def curate_corpus_semantic(

@@ -1260,6 +1260,14 @@ text_kept AS (
 O_CURATED_CORPUS = "WITH RECURSIVE " + _CURATE_TEXT_CTES + "\nSELECT doc_id FROM text_kept"
 
 
+def _curate_text_ctes_from(src: str) -> str:
+    """The shared curation CTE chain re-pointed at another relation
+    (the two base-table scans are the only ``FROM documents`` in the
+    chain — the minhash CTEs read from ``kept``)."""
+    assert _CURATE_TEXT_CTES.count("FROM documents") == 2
+    return _CURATE_TEXT_CTES.replace("FROM documents", f"FROM {src}")
+
+
 def q_curated_corpus_semantic(spark, sf_dir):
     """Text + SEMANTIC curation end-to-end, fully oracle-checked: the
     whole ``curated_corpus`` chain, then embedding-cosine near-dup
@@ -1535,18 +1543,28 @@ _SQL_PII_TEXT = """
     CASE WHEN doc_id % 7 = 0 THEN ' call 555-867-5309' ELSE '' END) AS text
   FROM documents"""
 
-O_PII_REDACTION = rf"""
+def _sql_redact(expr: str) -> str:
+    """The PII replacement chain as DuckDB SQL over ``expr`` — built
+    from curation.PII_PATTERNS so Spark and oracle can never drift."""
+    out = expr
+    for _, pat, repl in CU.PII_PATTERNS:
+        out = f"regexp_replace({out},\n    '{pat}', '{repl}', 'g')"
+    return out
+
+
+def _sql_pii_count(pat: str) -> str:
+    return f"CAST(len(regexp_extract_all(text, '{pat}')) AS BIGINT)"
+
+
+_SQL_PII_COUNTS = ",\n  ".join(
+    f"{_sql_pii_count(p)} AS n_{n}" for n, p, _ in CU.PII_PATTERNS
+)
+
+O_PII_REDACTION = f"""
 WITH pii AS ({_SQL_PII_TEXT})
 SELECT doc_id,
-  regexp_replace(regexp_replace(regexp_replace(regexp_replace(text,
-    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{{2,}}', '<EMAIL>', 'g'),
-    '\b\d{{1,3}}\.\d{{1,3}}\.\d{{1,3}}\.\d{{1,3}}\b', '<IP>', 'g'),
-    '\b\d{{3}}-\d{{2}}-\d{{4}}\b', '<SSN>', 'g'),
-    '\b\d{{3}}-\d{{3}}-\d{{4}}\b', '<PHONE>', 'g') AS redacted,
-  CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{{2,}}')) AS BIGINT) AS n_email,
-  CAST(len(regexp_extract_all(text, '\b\d{{1,3}}\.\d{{1,3}}\.\d{{1,3}}\.\d{{1,3}}\b')) AS BIGINT) AS n_ip,
-  CAST(len(regexp_extract_all(text, '\b\d{{3}}-\d{{2}}-\d{{4}}\b')) AS BIGINT) AS n_ssn,
-  CAST(len(regexp_extract_all(text, '\b\d{{3}}-\d{{3}}-\d{{4}}\b')) AS BIGINT) AS n_phone
+  {_sql_redact("text")} AS redacted,
+  {_SQL_PII_COUNTS}
 FROM pii"""
 
 
@@ -1626,6 +1644,59 @@ SELECT doc_id, n_tokens, start_off,
   CAST((start_off + greatest(n_tokens, 1) - 1) // 128 AS BIGINT) AS last_pack,
   CAST((start_off + greatest(n_tokens, 1) - 1) // 128 - start_off // 128 + 1 AS BIGINT) AS n_packs
 FROM c"""
+
+
+def q_curated_corpus_clean(spark, sf_dir):
+    """The FULL clean-corpus composition, one DuckDB oracle:
+
+        synth PII → redact_pii → quality gate → exact dedup →
+        MinHash near-dup keep-one → benchmark decontamination
+
+    Redaction runs FIRST (the masked text is what gets fingerprinted
+    and shingled — the production order, so a doc differing only in
+    its PII spans deduplicates against its twin); the planted
+    benchmark is tokens 5..12 of every 20th redacted doc, so the
+    decontamination stage must drop those survivors. Output is the
+    kept (doc_id, redacted-text) set."""
+    red = CU.redact_pii(_docs_with_pii(spark, sf_dir)).select(
+        "doc_id", F.col("redacted").alias("text")
+    )
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    bench = (
+        red.filter(F.col("doc_id") % 20 == 0)
+        .select(
+            F.col("doc_id").alias("bench_id"),
+            F.array_join(F.slice(toks, 5, 8), " ").alias("text"),
+        )
+        .filter(F.size(F.split(F.trim(F.col("text")), r"\s+")) >= 8)
+    )
+    kept = DS.curate_corpus(
+        red,
+        hasher=DS._md5_hasher,
+        bucket_by_values=True,
+        max_bucket_size=1_000_000,  # oracle parity only (see q_curated_corpus)
+        bench=bench,
+        contamination_n=8,
+    )
+    return kept.join(red, "doc_id").select("doc_id", F.col("text").alias("redacted"))
+
+
+def _o_curated_clean() -> str:
+    return (
+        f"WITH RECURSIVE pii AS ({_SQL_PII_TEXT}),\n"
+        f"red AS (SELECT doc_id, {_sql_redact('text')} AS text FROM pii),\n"
+        + _curate_text_ctes_from("red")
+        + r""",
+ctoks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM red),
+cbench AS (SELECT doc_id AS bench_id, array_to_string(t[5:12], ' ') AS ngram
+           FROM ctoks WHERE doc_id % 20 = 0 AND len(t) >= 12),
+cngrams AS (SELECT doc_id, array_to_string(t[CAST(i AS INT):CAST(i + 7 AS INT)], ' ') AS ngram
+            FROM (SELECT c.* FROM ctoks c JOIN text_kept USING (doc_id)), unnest(range(1, len(t) - 6)) AS u(i)),
+contaminated AS (SELECT DISTINCT g.doc_id FROM cngrams g JOIN cbench b ON g.ngram = b.ngram)
+SELECT r.doc_id, r.text AS redacted
+FROM red r JOIN text_kept USING (doc_id)
+WHERE r.doc_id NOT IN (SELECT doc_id FROM contaminated)"""
+    )
 
 
 def q_hourly_heavy_hitters(spark, sf_dir):
@@ -1708,6 +1779,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "quota_sample": q_quota_sample,
     "sequence_packing": q_sequence_packing,
     "hourly_heavy_hitters": q_hourly_heavy_hitters,
+    "curated_corpus_clean": q_curated_corpus_clean,
     # rows-only checks (engine-specific hashing / pandas-UDF stages)
     "simhash_neardup": q_simhash_neardup,
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
@@ -1777,4 +1849,5 @@ ORACLES: dict[str, str] = {
     "quota_sample": O_QUOTA,
     "sequence_packing": O_PACKING,
     "hourly_heavy_hitters": O_HOURLY_HH,
+    "curated_corpus_clean": _o_curated_clean(),
 }

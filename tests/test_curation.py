@@ -180,3 +180,39 @@ def test_top_k_per_hour_matches_manual(spark):
             (-r["n_turns"], r["conv_id"]) for r in got if r["hour"] == hour
         )
         assert have == want, hour
+
+
+# ---------------------------------------------------------------------------
+# Composed clean-corpus pipeline
+# ---------------------------------------------------------------------------
+
+def test_curate_corpus_redact_then_decontaminate(spark):
+    """Composition semantics: (1) docs differing ONLY in PII spans
+    dedup together after redaction (redact-before-fingerprint); (2) a
+    survivor sharing an 8-gram with a bench item is dropped."""
+    from fluent_plugin_opensearch_spark.operators.dataset import curate_corpus
+
+    base = ("spark rows tables merge hash value scan filter join sort "
+            "group window batch stream plan stage task core node disk " * 3)
+    bench_span = "alpha beta gamma delta epsilon zeta eta theta"
+    docs = spark.createDataFrame(
+        [
+            (0, base + " mail jane@a.io"),      # PII twin of 1 (keep: min id)
+            (1, base + " mail bob@b.org"),       # redacts to same text as 0
+            (2, f"{base} {bench_span} unique tail words here"),  # contaminated
+            (3, "distinct healthy document " + base.replace("spark", "flink")),
+        ],
+        ["doc_id", "text"],
+    )
+    red = CU.redact_pii(docs).select("doc_id", F.col("redacted").alias("text"))
+    bench = spark.createDataFrame([(9, bench_span)], ["bench_id", "text"])
+    kept = {
+        r["doc_id"]
+        for r in curate_corpus(
+            red, min_tokens=10, min_chars=50, bench=bench, contamination_n=8
+        ).collect()
+    }
+    assert 0 in kept      # twin winner survives
+    assert 1 not in kept  # exact-dup after redaction (same masked text)
+    assert 2 not in kept  # decontaminated
+    assert 3 in kept
