@@ -1,11 +1,17 @@
-"""Training-data corpus curation job: quality gate → exact dedup →
-MinHash near-dup dedup (keep one doc per cluster), writing the curated
-corpus + a stats line. The batch-mode composition of the dataset
-operators (operators/dataset.py:curate_corpus).
+"""Training-data corpus curation job: [PII redaction →] quality gate →
+exact dedup → MinHash near-dup dedup (keep one doc per cluster)
+[→ benchmark decontamination], writing the curated corpus + a stats
+line. The batch-mode composition of the dataset/curation operators
+(operators/dataset.py:curate_corpus, operators/curation.py).
 
     spark-submit --py-files dist/fposs.zip jobs/curate_corpus.py \\
         --input <documents parquet> --output <curated dir> \\
+        [--redact-pii] [--bench <benchmark parquet: bench_id, text>] \\
         [--min-tokens 20 --min-chars 100 --min-jaccard 0.5]
+
+With ``--redact-pii`` the masked text is what gets fingerprinted,
+shingled, and WRITTEN (docs differing only in PII spans dedup
+together, and no raw PII reaches the output corpus).
 """
 
 from __future__ import annotations
@@ -24,15 +30,28 @@ def main(argv: list[str]) -> None:
     p.add_argument("--min-jaccard", type=float, default=0.5)
     p.add_argument("--num-hashes", type=int, default=32)
     p.add_argument("--bands", type=int, default=8)
+    p.add_argument("--redact-pii", action="store_true",
+                   help="mask PII before dedup; the output corpus is redacted")
+    p.add_argument("--bench", default=None,
+                   help="benchmark parquet (bench_id, text) for decontamination")
+    p.add_argument("--contamination-n", type=int, default=8)
     args = p.parse_args(argv)
 
     from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
 
+    from fluent_plugin_opensearch_spark.operators.curation import redact_pii
     from fluent_plugin_opensearch_spark.operators.dataset import curate_corpus
 
     spark = SparkSession.builder.appName("curate-corpus").getOrCreate()
     docs = spark.read.parquet(args.input)
     n_in = docs.count()
+    if args.redact_pii:
+        red = redact_pii(docs).select("doc_id", F.col("redacted").alias("text"))
+        docs = docs.drop("text").join(red, "doc_id")
+        if "n_chars" in docs.columns:  # keep derived metadata consistent
+            docs = docs.withColumn("n_chars", F.length("text").cast("bigint"))
+    bench = spark.read.parquet(args.bench) if args.bench else None
     kept_ids = curate_corpus(
         docs,
         min_tokens=args.min_tokens,
@@ -40,6 +59,8 @@ def main(argv: list[str]) -> None:
         min_jaccard=args.min_jaccard,
         num_hashes=args.num_hashes,
         bands=args.bands,
+        bench=bench,
+        contamination_n=args.contamination_n,
     )
     curated = docs.join(kept_ids, "doc_id", "left_semi")
     curated.write.mode("overwrite").parquet(args.output)
