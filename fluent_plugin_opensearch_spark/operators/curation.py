@@ -45,6 +45,22 @@ PII_PATTERNS: list[tuple[str, str, str]] = [
 ]
 
 
+def redacted_text_expr(text_col: str):
+    """The PII replacement chain (PII_PATTERNS order) as a column
+    expression — for replacing a text column IN PLACE without the
+    join-back a separate (id, redacted) frame would force."""
+    red = F.col(text_col)
+    for _, pat, repl in PII_PATTERNS:
+        red = F.regexp_replace(red, pat, repl)
+    return red
+
+
+def redact_text(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Replace ``text_col`` with its redacted form, keeping every other
+    column — still a pure projection (no shuffle, no join)."""
+    return docs.withColumn(text_col, redacted_text_expr(text_col))
+
+
 def redact_pii(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Mask PII spans and count matches per class.
 
@@ -59,10 +75,9 @@ def redact_pii(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") 
         .alias(f"n_{name}")
         for name, pat, _ in PII_PATTERNS
     ]
-    red = F.col(text_col)
-    for _, pat, repl in PII_PATTERNS:
-        red = F.regexp_replace(red, pat, repl)
-    return docs.select(F.col(id_col), red.alias("redacted"), *counts)
+    return docs.select(
+        F.col(id_col), redacted_text_expr(text_col).alias("redacted"), *counts
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -120,9 +135,13 @@ def contamination_check(
     if broadcast_bench:
         bench_ng = F.broadcast(bench_ng)
     hits = doc_ng.join(bench_ng, "ngram").select(id_col, "_bid").distinct()
+    # first_bench_id keeps the bench id's own type (string suite ids
+    # like 'mmlu-0042' are the common real shape — a bigint cast here
+    # would throw under ANSI mode; the oracle query casts its synthetic
+    # numeric ids at the query layer)
     return hits.groupBy(id_col).agg(
         F.count(F.lit(1)).alias("n_bench_hits"),
-        F.min("_bid").cast("bigint").alias("first_bench_id"),
+        F.min("_bid").alias("first_bench_id"),
     )
 
 

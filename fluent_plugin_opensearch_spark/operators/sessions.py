@@ -133,12 +133,21 @@ def top_k_per_hour(df: DataFrame, k: int = 3) -> DataFrame:
     return _top_k_per_bucket(df, "yyyy-MM-dd HH", "hour", k)
 
 
-def _top_k_per_bucket(df: DataFrame, fmt: str, bucket_name: str, k: int) -> DataFrame:
-    bucket = F.date_format("ts", fmt).alias(bucket_name)
-    counts = df.groupBy(bucket, "conv_id").agg(F.count(F.lit(1)).alias("n_turns"))
+def rank_top_k(counts: DataFrame, bucket_name: str, k: int) -> DataFrame:
+    """Rank a (bucket, conv_id, n_turns) count frame to its per-bucket
+    top-k (desc count, conv_id tie-break) — shared by the batch
+    heavy-hitter queries and the streamed-rollup reader
+    (streaming.top_k_from_rollup), so the tie-break can never drift
+    between the parity-tested twins."""
     w = Window.partitionBy(bucket_name).orderBy(F.desc("n_turns"), F.col("conv_id"))
     return (
         counts.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select(bucket_name, "conv_id", "n_turns", "rank")
     )
+
+
+def _top_k_per_bucket(df: DataFrame, fmt: str, bucket_name: str, k: int) -> DataFrame:
+    bucket = F.date_format("ts", fmt).alias(bucket_name)
+    counts = df.groupBy(bucket, "conv_id").agg(F.count(F.lit(1)).alias("n_turns"))
+    return rank_top_k(counts, bucket_name, k)

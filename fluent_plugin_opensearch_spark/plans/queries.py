@@ -1582,7 +1582,9 @@ def q_contamination(spark, sf_dir):
         )
         .filter(F.size(F.split(F.trim(F.col("text")), r"\s+")) >= 8)
     )
-    return CU.contamination_check(docs, bench, n=8)
+    return CU.contamination_check(docs, bench, n=8).withColumn(
+        "first_bench_id", F.col("first_bench_id").cast("bigint")
+    )
 
 
 O_CONTAMINATION = r"""

@@ -305,16 +305,12 @@ def heavy_hitter_rollup_stream(
 
 
 def top_k_from_rollup(rollup: DataFrame, k: int = 3) -> DataFrame:
-    """Query-time top-k over the streamed rollup — column-compatible
-    with the batch ``sessions.top_k_per_hour`` (parity-tested)."""
-    from pyspark.sql.window import Window
+    """Query-time top-k over the streamed rollup — the SAME ranking
+    helper as the batch ``sessions.top_k_per_hour`` (parity-tested), so
+    tie-break semantics cannot drift between the twins."""
+    from ..operators.sessions import rank_top_k
 
-    w = Window.partitionBy("hour").orderBy(F.desc("n_turns"), F.col("conv_id"))
-    return (
-        rollup.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("hour", "conv_id", "n_turns", "rank")
-    )
+    return rank_top_k(rollup, "hour", k)
 
 
 def heavy_hitters_sketch_stream(
@@ -322,6 +318,8 @@ def heavy_hitters_sketch_stream(
     capacity: int = 8,
     window_fmt: str = "yyyy-MM-dd HH",
     watermark: str = "24 hours",
+    evict_state: bool = False,
+    evict_after_minutes: int = 120,
 ) -> DataFrame:
     """APPROXIMATE per-window heavy hitters with O(capacity) state per
     window: a Misra–Gries summary maintained in
@@ -341,8 +339,18 @@ def heavy_hitters_sketch_stream(
     (tested against exact counts). Each batch emits the group's current
     summary tagged with ``seen``; ``seen`` strictly increases per
     emission, so the latest summary per window is the max-``seen`` row
-    set. NoTimeout for availableNow drains (CLAUDE.md gotcha); add
-    eviction timers only on continuous runs.
+    set. A batch whose decrement empties the summary (all merged counts
+    equal, more keys than capacity — a legitimate MG state) emits ONE
+    null-conv marker row carrying the advanced ``seen``, so the
+    max-``seen`` protocol never yields a stale summary with an
+    understated error bound; consumers filter null conv_id.
+
+    ``evict_state=True`` adds a processing-time timeout that drops a
+    window's summary after ``evict_after_minutes`` idle — REQUIRED on
+    continuous runs (state otherwise grows by one entry per closed
+    window forever), but it must stay OFF for availableNow drains
+    (pending timers make availableNow spin through endless empty
+    micro-batches — the sessionize_stream gotcha, CLAUDE.md).
     """
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
@@ -351,6 +359,9 @@ def heavy_hitters_sketch_stream(
         import pandas as pd
 
         hour = key[0]
+        if evict_state and state.hasTimedOut:
+            state.remove()
+            return
         if state.exists:
             items, counts, seen = state.get
             d = dict(zip(items, counts))
@@ -368,6 +379,8 @@ def heavy_hitters_sketch_stream(
                 thresh = int(np.partition(vals, -capacity - 1)[-capacity - 1])
                 d = {k2: v - thresh for k2, v in d.items() if v - thresh > 0}
         state.update((list(d.keys()), [int(v) for v in d.values()], int(seen)))
+        if evict_state:
+            state.setTimeoutDuration(evict_after_minutes * 60 * 1000)
         if d:
             yield pd.DataFrame(
                 {
@@ -376,6 +389,10 @@ def heavy_hitters_sketch_stream(
                     "est_count": [int(v) for v in d.values()],
                     "seen": int(seen),
                 }
+            )
+        elif seen:
+            yield pd.DataFrame(
+                {"hour": [hour], "conv_id": [None], "est_count": [0], "seen": [int(seen)]}
             )
 
     keyed = (
@@ -388,7 +405,9 @@ def heavy_hitters_sketch_stream(
         outputStructType="hour string, conv_id string, est_count bigint, seen bigint",
         stateStructType="items array<string>, counts array<bigint>, seen bigint",
         outputMode="append",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout
+        if evict_state
+        else GroupStateTimeout.NoTimeout,
     )
 
 

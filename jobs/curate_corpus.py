@@ -40,15 +40,16 @@ def main(argv: list[str]) -> None:
     from pyspark.sql import SparkSession
     from pyspark.sql import functions as F
 
-    from fluent_plugin_opensearch_spark.operators.curation import redact_pii
+    from fluent_plugin_opensearch_spark.operators.curation import redact_text
     from fluent_plugin_opensearch_spark.operators.dataset import curate_corpus
 
     spark = SparkSession.builder.appName("curate-corpus").getOrCreate()
     docs = spark.read.parquet(args.input)
     n_in = docs.count()
     if args.redact_pii:
-        red = redact_pii(docs).select("doc_id", F.col("redacted").alias("text"))
-        docs = docs.drop("text").join(red, "doc_id")
+        # in-place column replacement — a pure projection, NOT a
+        # join-back of a (doc_id, redacted) frame against the corpus
+        docs = redact_text(docs)
         if "n_chars" in docs.columns:  # keep derived metadata consistent
             docs = docs.withColumn("n_chars", F.length("text").cast("bigint"))
     bench = spark.read.parquet(args.bench) if args.bench else None

@@ -74,6 +74,11 @@ def test_contamination_planted(spark):
     got = {r["doc_id"]: r for r in CU.contamination_check(docs, bench, n=8).collect()}
     assert set(got) == {0, 2}
     assert got[0]["n_bench_hits"] == 1 and got[0]["first_bench_id"] == 100
+    # real eval suites key items with STRING ids — must not cast-crash
+    # under ANSI mode (first_bench_id keeps the bench id's own type)
+    sb = spark.createDataFrame([("mmlu-0042", bench_span)], ["bench_id", "text"])
+    got_s = {r["doc_id"]: r for r in CU.contamination_check(docs, sb, n=8).collect()}
+    assert got_s[0]["first_bench_id"] == "mmlu-0042"
 
 
 def test_contamination_bench_side_broadcast(spark):

@@ -426,7 +426,11 @@ def test_heavy_hitters_sketch_misra_gries_bounds(spark, tmp_path):
         by_hour.setdefault(r["hour"], []).append(r)
     for hour, rs in by_hour.items():
         seen_max = max(r["seen"] for r in rs)
-        final = {r["conv_id"]: r["est_count"] for r in rs if r["seen"] == seen_max}
+        final = {
+            r["conv_id"]: r["est_count"]
+            for r in rs
+            if r["seen"] == seen_max and r["conv_id"] is not None  # drop marker rows
+        }
         true = {
             r["conv_id"]: r["n"]
             for r in df.filter(F.date_format("ts", "yyyy-MM-dd HH") == hour)
@@ -444,3 +448,38 @@ def test_heavy_hitters_sketch_misra_gries_bounds(spark, tmp_path):
         for conv, n in true.items():
             if n > err:  # guaranteed-retained heavy hitters
                 assert conv in final, (conv, n, err, final)
+
+
+def test_heavy_hitters_sketch_empty_summary_marker(spark, tmp_path):
+    """A decrement that empties the summary (all counts equal, more
+    keys than capacity) must still emit a max-seen marker row, so the
+    latest-summary protocol never reads a stale bound."""
+    import datetime
+
+    from fluent_plugin_opensearch_spark.streaming.stream import (
+        TRANSCRIPTS_SCHEMA,
+        heavy_hitters_sketch_stream,
+    )
+
+    base = datetime.datetime(2024, 3, 2, 9, 0, 0)
+    rows = [
+        (f"solo{i}", i, "user", "t", None, base + datetime.timedelta(seconds=i))
+        for i in range(9)  # 9 equal singletons > capacity 8, one batch
+    ]
+    src_dir = str(tmp_path / "mg0_src")
+    spark.createDataFrame(rows, schema=TRANSCRIPTS_SCHEMA).coalesce(1).write.parquet(src_dir)
+    out = heavy_hitters_sketch_stream(
+        spark.readStream.schema(TRANSCRIPTS_SCHEMA).parquet(src_dir), capacity=8
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("mg_empty")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "mg0_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    emitted = spark.table("mg_empty").collect()
+    assert len(emitted) == 1
+    assert emitted[0]["conv_id"] is None and emitted[0]["seen"] == 9
