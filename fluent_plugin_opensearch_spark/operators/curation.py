@@ -189,14 +189,31 @@ def quota_top_per_stratum(
     order_col: str = "n_chars",
     id_col: str = "doc_id",
     stratum_col: str = "source",
+    prefilter: bool = False,
 ) -> DataFrame:
     """Quota sampling: the top-``quota`` docs per stratum by
     ``order_col`` (desc, id tie-break) — 'take the N best docs per
-    source'. Window per stratum; at scale bound the window input first
-    with a cheap pre-filter (e.g. approx_percentile cutoff at
-    quota/|stratum| oversampled 2×) so a billion-doc stratum never
-    sorts entirely — the top_k_per_day pre-aggregation pattern
-    (operators/sessions.py:127)."""
+    source'.
+
+    ``prefilter=True`` is the billion-doc-stratum mode: an EXACT
+    two-phase top-k (the distributed takeOrdered shape). Phase 1 ranks
+    within (stratum, input-partition) — the exchange keys include the
+    partition id, so a hot stratum spreads across tasks instead of
+    sorting entirely in one — and keeps only each task's local
+    top-``quota``; a row outside its partition's top-``quota`` cannot
+    be in the global top-``quota``, so phase 2's per-stratum window
+    sees at most ``quota × num_partitions`` rows. Identical output to
+    the single-window plan (equality-tested on skewed data)."""
+    if prefilter:
+        w_local = Window.partitionBy(stratum_col, "_pid").orderBy(
+            F.desc(order_col), F.col(id_col)
+        )
+        docs = (
+            docs.withColumn("_pid", F.spark_partition_id())
+            .withColumn("_lr", F.row_number().over(w_local))
+            .filter(F.col("_lr") <= quota)
+            .drop("_pid", "_lr")
+        )
     w = Window.partitionBy(stratum_col).orderBy(F.desc(order_col), F.col(id_col))
     return (
         docs.withColumn("rank", F.row_number().over(w))

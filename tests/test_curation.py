@@ -221,3 +221,20 @@ def test_curate_corpus_redact_then_decontaminate(spark):
     assert 1 not in kept  # exact-dup after redaction (same masked text)
     assert 2 not in kept  # decontaminated
     assert 3 in kept
+
+
+def test_quota_prefilter_exact_equivalence(spark):
+    """The two-phase (stratum, partition)-local top-k prefilter must
+    return EXACTLY the single-window result, on skewed strata with
+    ties, across partition layouts."""
+    rng = random.Random(11)
+    rows = [(i, "hot", rng.randint(0, 20)) for i in range(2000)]  # hot stratum, many ties
+    rows += [(10_000 + i, f"s{i % 5}", rng.randint(0, 1000)) for i in range(300)]
+    docs = spark.createDataFrame(rows, ["doc_id", "source", "n_chars"])
+    for layout in (docs, docs.repartition(13)):
+        plain = sorted(tuple(r) for r in CU.quota_top_per_stratum(layout, quota=7).collect())
+        fast = sorted(
+            tuple(r)
+            for r in CU.quota_top_per_stratum(layout, quota=7, prefilter=True).collect()
+        )
+        assert plain == fast
