@@ -313,6 +313,28 @@ def top_k_from_rollup(rollup: DataFrame, k: int = 3) -> DataFrame:
     return rank_top_k(rollup, "hour", k)
 
 
+def mg_merge(d: dict, batch_counts: dict, capacity: int) -> dict:
+    """One batched Misra–Gries step: add ``batch_counts`` into summary
+    ``d``, then if the summary exceeds ``capacity`` subtract the
+    (capacity+1)-th largest count from every entry and drop the
+    non-positives — equivalent to a sequence of classical all-decrement
+    rounds, so the MG invariants hold: each surviving estimate is an
+    undercount, and the total decremented mass per key is at most
+    total_items/(capacity+1) (every decrement event removes the same
+    amount from ≥ capacity+1 keys). Property-tested against the
+    one-at-a-time textbook algorithm's bounds (tests/test_property.py).
+    """
+    import numpy as np
+
+    for k, c in batch_counts.items():
+        d[k] = d.get(k, 0) + c
+    if len(d) > capacity:
+        vals = np.fromiter(d.values(), dtype=np.int64)
+        thresh = int(np.partition(vals, -capacity - 1)[-capacity - 1])
+        d = {k: v - thresh for k, v in d.items() if v - thresh > 0}
+    return d
+
+
 def heavy_hitters_sketch_stream(
     source: DataFrame,
     capacity: int = 8,
@@ -355,7 +377,6 @@ def heavy_hitters_sketch_stream(
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
     def sketch(key, pdfs, state: GroupState):
-        import numpy as np
         import pandas as pd
 
         hour = key[0]
@@ -372,12 +393,7 @@ def heavy_hitters_sketch_stream(
                 continue
             vc = pdf["conv_id"].value_counts()
             seen += int(vc.sum())
-            for conv, c in vc.items():
-                d[conv] = d.get(conv, 0) + int(c)
-            if len(d) > capacity:
-                vals = np.fromiter(d.values(), dtype=np.int64)
-                thresh = int(np.partition(vals, -capacity - 1)[-capacity - 1])
-                d = {k2: v - thresh for k2, v in d.items() if v - thresh > 0}
+            d = mg_merge(d, {conv: int(c) for conv, c in vc.items()}, capacity)
         state.update((list(d.keys()), [int(v) for v in d.values()], int(seen)))
         if evict_state:
             state.setTimeoutDuration(evict_after_minutes * 60 * 1000)

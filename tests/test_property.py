@@ -288,3 +288,89 @@ def test_grok_compile_random_parity():
         assert (m is None) == (w is None)
         if m:
             assert [m.group(f) for f in fields] == list(w.groups())
+
+
+def test_mg_merge_bounds_random_streams():
+    """Batched Misra-Gries (streaming/stream.py:mg_merge) must satisfy
+    the textbook MG guarantees on random skewed streams chopped into
+    random batch sizes: est <= true, undercount <= N/(capacity+1), no
+    more than `capacity` survivors, and every key with true count
+    > N/(capacity+1) retained."""
+    from fluent_plugin_opensearch_spark.streaming.stream import mg_merge
+
+    rng = random.Random(1234)
+    for trial in range(50):
+        capacity = rng.randint(2, 16)
+        n_keys = rng.randint(capacity, 200)
+        # zipf-ish skew: key i drawn with weight 1/(i+1)
+        keys = [f"k{i}" for i in range(n_keys)]
+        weights = [1.0 / (i + 1) for i in range(n_keys)]
+        stream = rng.choices(keys, weights=weights, k=rng.randint(50, 2000))
+        true = {}
+        for k in stream:
+            true[k] = true.get(k, 0) + 1
+        d: dict = {}
+        i = 0
+        while i < len(stream):
+            step = rng.randint(1, 200)
+            chunk = stream[i : i + step]
+            counts: dict = {}
+            for k in chunk:
+                counts[k] = counts.get(k, 0) + 1
+            d = mg_merge(d, counts, capacity)
+            i += step
+        n = len(stream)
+        err = n / (capacity + 1)
+        assert len(d) <= capacity
+        for k, est in d.items():
+            assert 0 < est <= true[k]
+            assert true[k] - est <= err, (trial, k, true[k], est, err)
+        for k, t in true.items():
+            if t > err:
+                assert k in d, (trial, k, t, err)
+
+
+def test_redact_pii_random_planted(spark):
+    """Random texts with K planted PII spans per class: Spark counts
+    must equal the planted K and the redacted text must contain no
+    residual matches (expectations independent of the operator)."""
+    import re
+
+    from fluent_plugin_opensearch_spark.operators.curation import PII_PATTERNS, redact_pii
+
+    rng = random.Random(77)
+    words = ["alpha", "beta", "gamma", "delta", "rho", "sigma", "tau"]
+
+    def mk_email():
+        return f"{_rand_word(rng)}.{_rand_word(rng)}@{_rand_word(rng)}.{rng.choice(['com','org','io'])}"
+
+    def mk_ip():
+        return ".".join(str(rng.randint(0, 255)) for _ in range(4))
+
+    def mk_ssn():
+        return f"{rng.randint(100,999)}-{rng.randint(10,99)}-{rng.randint(1000,9999)}"
+
+    def mk_phone():
+        return f"{rng.randint(200,999)}-{rng.randint(200,999)}-{rng.randint(1000,9999)}"
+
+    gens = {"email": mk_email, "ip": mk_ip, "ssn": mk_ssn, "phone": mk_phone}
+    rows, expected = [], []
+    for i in range(60):
+        planted = {name: rng.randint(0, 3) for name in gens}
+        toks = []
+        for name, k in planted.items():
+            toks += [gens[name]() for _ in range(k)]
+        toks += [rng.choice(words) for _ in range(rng.randint(3, 12))]
+        rng.shuffle(toks)
+        rows.append((i, " ".join(toks)))
+        expected.append(planted)
+    out = {r["doc_id"]: r for r in redact_pii(spark.createDataFrame(rows, ["doc_id", "text"])).collect()}
+    for i, planted in enumerate(expected):
+        for name in gens:
+            assert out[i][f"n_{name}"] == planted[name], (i, name, rows[i][1])
+        for _, pat, _repl in PII_PATTERNS:
+            assert not re.search(pat, out[i]["redacted"]), (i, pat, out[i]["redacted"])
+
+
+def _rand_word(rng, n=6):
+    return "".join(rng.choice(string.ascii_lowercase) for _ in range(n))
