@@ -374,3 +374,51 @@ def test_redact_pii_random_planted(spark):
 
 def _rand_word(rng, n=6):
     return "".join(rng.choice(string.ascii_lowercase) for _ in range(n))
+
+
+def test_parse_split_equals_reference_regex_random(spark):
+    """parse_text's split-based field extraction must equal a reference
+    Python-re parse (anchored \\Z) on adversarial random lines: valid
+    lines with bracket/req/ms traps inside the message, malformed
+    variants, empty messages, trailing newlines, multiline text."""
+    import re
+
+    from fluent_plugin_opensearch_spark.operators.parse import GROK_PATTERN, parse_text
+
+    ref = re.compile(GROK_PATTERN[:-1] + r"\Z")
+    rng = random.Random(4242)
+    traps = ["x", "a ] b", "req=9 took=1ms", "[W] req=2 took=3ms y", "ms ms ",
+             "took=", "", "m s", "]["]
+    rows = []
+    for i in range(400):
+        kind = rng.randrange(6)
+        lvl = "".join(rng.choice(string.ascii_letters + string.digits + "_") for _ in range(rng.randint(1, 6)))
+        req = str(rng.randint(0, 10**9))
+        dur = str(rng.randint(0, 10**6))
+        msg = rng.choice(traps) + rng.choice(traps)
+        if kind == 0:
+            text = f"[{lvl}] req={req} took={dur}ms {msg}"        # valid
+        elif kind == 1:
+            text = f"[{lvl}] req={req} took={dur}ms {msg}\n"      # trailing \n: must NOT parse
+        elif kind == 2:
+            text = f"[{lvl}] req={req} took={dur}ms "             # empty message
+        elif kind == 3:
+            text = f"[{lvl}] req={req} took={dur}ms a\nb"         # embedded \n: must NOT parse
+        elif kind == 4:
+            text = rng.choice(traps)                               # malformed
+        else:
+            text = f"[{lvl}] req={req}x took={dur}ms {msg}"       # corrupt req
+        rows.append((i, text))
+    got = {r["i"]: r for r in parse_text(spark.createDataFrame(rows, ["i", "text"])).collect()}
+    for i, text in rows:
+        m = ref.match(text)
+        r = got[i]
+        assert r["parse_ok"] == bool(m), (i, repr(text))
+        if m:
+            assert r["level"] == m.group(1)
+            assert r["req_id"] == m.group(2)
+            assert r["duration_ms"] == int(m.group(3))
+            assert r["message"] == (m.group(4) or None), (i, repr(text), r["message"])
+        else:
+            assert r["level"] is None and r["req_id"] is None
+            assert r["duration_ms"] is None and r["message"] is None
