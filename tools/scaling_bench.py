@@ -64,6 +64,12 @@ def run_once(rows: int, cpus: int, cpuset: str, master: str | None = None) -> di
         SPARK_GRAFT_SKIP_QUERIES="1",
         SPARK_GRAFT_SKIP_WRITE="1",
         SPARK_GRAFT_JAVA_OPTS=GC,
+        # memory scales with cores, as on a real cluster (a 4N-core
+        # executor ships ~4x the memory): fixed 16g starved the 16-core
+        # single-JVM run into 22%-of-wall ParallelGC pauses (measured;
+        # 48g -> 7%). 3g/core matches the local-cluster framing's
+        # 11264MB-per-4-core executors.
+        SPARK_GRAFT_DRIVER_MEM=f"{3 * cpus}g",
     )
     if master:
         env["SPARK_GRAFT_MASTER"] = master
