@@ -13,7 +13,9 @@ reports the best of 3 steady-state passes — what a long-running
 cluster job sees.
 
 Env knobs: SPARK_GRAFT_MASTER (e.g. ``local-cluster[4,8,11264]``),
-SPARK_GRAFT_SKIP_QUERIES=1 (scaling runs time only the pipeline).
+SPARK_GRAFT_SKIP_QUERIES=1 (scaling runs time only the pipeline),
+SPARK_GRAFT_DRIVER_MEM (driver heap, default 16g — the scaling
+harness scales it with cores in the single-JVM framing).
 Two-parallelism scaling evidence (north_rule) comes from
 ``tools/scaling_bench.py`` → BENCH/BASELINE.md.
 """

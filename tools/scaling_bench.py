@@ -64,15 +64,21 @@ def run_once(rows: int, cpus: int, cpuset: str, master: str | None = None) -> di
         SPARK_GRAFT_SKIP_QUERIES="1",
         SPARK_GRAFT_SKIP_WRITE="1",
         SPARK_GRAFT_JAVA_OPTS=GC,
-        # memory scales with cores, as on a real cluster (a 4N-core
-        # executor ships ~4x the memory): fixed 16g starved the 16-core
-        # single-JVM run into 22%-of-wall ParallelGC pauses (measured;
-        # 48g -> 7%). 3g/core matches the local-cluster framing's
-        # 11264MB-per-4-core executors.
-        SPARK_GRAFT_DRIVER_MEM=f"{3 * cpus}g",
     )
     if master:
         env["SPARK_GRAFT_MASTER"] = master
+    else:
+        # CORES framing only (single JVM is both driver and executors):
+        # memory scales with cores as on a real cluster — a fixed 16g
+        # starved the 16-core run into 22%-of-wall ParallelGC pauses
+        # (measured; 48g -> 7%). Floor at the historical 16g so the
+        # N-side baseline stays comparable to prior rounds and the 4N
+        # side is never ADVANTAGED per-core (16g/4 = 4g/core vs
+        # 48g/16 = 3g/core). The local-cluster framing keeps its fixed
+        # 11264MB-per-executor sizing (executor memory already scales
+        # with executor count there; scaling the DRIVER would add a
+        # confound to what is claimed as pure executor-count scaling).
+        env["SPARK_GRAFT_DRIVER_MEM"] = f"{max(16, 3 * cpus)}g"
     out = subprocess.run(
         ["taskset", "-c", cpuset, sys.executable, os.path.join(REPO, "bench.py")],
         env=env,
@@ -80,8 +86,13 @@ def run_once(rows: int, cpus: int, cpuset: str, master: str | None = None) -> di
         text=True,
         timeout=1200,
     )
-    line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
-    return json.loads(line)
+    lines = [l for l in out.stdout.splitlines() if l.startswith("{")]
+    if out.returncode != 0 or not lines:
+        raise RuntimeError(
+            f"bench.py failed (rc={out.returncode}, cpus={cpus}, master={master});"
+            f" stderr tail:\n{out.stderr[-2000:]}"
+        )
+    return json.loads(lines[-1])
 
 
 def main() -> None:
