@@ -232,6 +232,7 @@ def pack_sequences(
     id_col: str = "doc_id",
     text_col: str = "text",
     block_size: int = 100_000,
+    stratum_col: str | None = None,
 ) -> DataFrame:
     """Context-window layout for LLM pretraining: conceptually
     concatenate all docs in id order and cut every ``budget`` tokens
@@ -247,17 +248,24 @@ def pack_sequences(
     plus one row per block for the carry.
 
     Token counts use the bpe-ish regex (dataset.token_count_bpe_ish).
+
+    ``stratum_col`` packs each stratum independently (per-domain
+    context streams — the curriculum/mixture shape): offsets restart
+    per stratum, and every window/groupBy/join key gains the stratum,
+    so strata pack in parallel with no cross-stratum barrier.
     """
+    strat = [stratum_col] if stratum_col else []
     n_tok = F.size(
         F.regexp_extract_all(F.col(text_col), F.lit(r"[A-Za-z]+|\d+|[^\sA-Za-z\d]"), F.lit(0))
     ).cast("bigint")
     blocked = docs.select(
+        *strat,
         F.col(id_col),
         n_tok.alias("n_tokens"),
         (F.col(id_col).cast("bigint") / block_size).cast("bigint").alias("_block"),
     )
 
-    w_local = Window.partitionBy("_block").orderBy(id_col)
+    w_local = Window.partitionBy(*strat, "_block").orderBy(id_col)
     local = blocked.withColumn(
         "_local_excl",
         F.coalesce(
@@ -266,9 +274,10 @@ def pack_sequences(
         ),
     )
 
-    w_blk = Window.orderBy("_block")  # one row per block — tiny by construction
+    # one row per (stratum, block) — tiny by construction
+    w_blk = Window.partitionBy(*strat).orderBy("_block") if strat else Window.orderBy("_block")
     offsets = (
-        local.groupBy("_block")
+        local.groupBy(*strat, "_block")
         .agg(F.sum("n_tokens").alias("_blk_sum"))
         .withColumn(
             "_offset",
@@ -277,14 +286,15 @@ def pack_sequences(
                 F.lit(0).cast("bigint"),
             ),
         )
-        .select("_block", "_offset")
+        .select(*strat, "_block", "_offset")
     )
 
     start = F.col("_local_excl") + F.col("_offset")
     last = (start + F.greatest(F.col("n_tokens"), F.lit(1)) - 1)
     return (
-        local.join(offsets, on="_block", how="inner")
+        local.join(offsets, on=[*strat, "_block"], how="inner")
         .select(
+            *strat,
             F.col(id_col),
             F.col("n_tokens"),
             start.cast("bigint").alias("start_off"),

@@ -1701,6 +1701,26 @@ WHERE r.doc_id NOT IN (SELECT doc_id FROM contaminated)"""
     )
 
 
+def q_sequence_packing_by_source(spark, sf_dir):
+    """Per-stratum packing: offsets restart per source (the per-domain
+    context-stream shape); strata pack independently in parallel."""
+    return CU.pack_sequences(
+        _docs(spark, sf_dir), budget=128, block_size=64, stratum_col="source"
+    )
+
+
+O_PACKING_BY_SOURCE = r"""
+WITH tc AS (SELECT source, doc_id, CAST(len(regexp_extract_all(text, '[A-Za-z]+|\d+|[^\sA-Za-z\d]')) AS BIGINT) AS n_tokens FROM documents),
+c AS (SELECT source, doc_id, n_tokens,
+        CAST(coalesce(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_off
+      FROM tc)
+SELECT source, doc_id, n_tokens, start_off,
+  CAST(start_off // 128 AS BIGINT) AS first_pack,
+  CAST((start_off + greatest(n_tokens, 1) - 1) // 128 AS BIGINT) AS last_pack,
+  CAST((start_off + greatest(n_tokens, 1) - 1) // 128 - start_off // 128 + 1 AS BIGINT) AS n_packs
+FROM c"""
+
+
 def q_hourly_heavy_hitters(spark, sf_dir):
     """Hour-grain heavy hitters (the streaming window's batch twin)."""
     from ..operators.sessions import top_k_per_hour
@@ -1780,6 +1800,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stratified_sample": q_stratified_sample,
     "quota_sample": q_quota_sample,
     "sequence_packing": q_sequence_packing,
+    "sequence_packing_by_source": q_sequence_packing_by_source,
     "hourly_heavy_hitters": q_hourly_heavy_hitters,
     "curated_corpus_clean": q_curated_corpus_clean,
     # rows-only checks (engine-specific hashing / pandas-UDF stages)
@@ -1850,6 +1871,7 @@ ORACLES: dict[str, str] = {
     "stratified_sample": O_STRATIFIED,
     "quota_sample": O_QUOTA,
     "sequence_packing": O_PACKING,
+    "sequence_packing_by_source": O_PACKING_BY_SOURCE,
     "hourly_heavy_hitters": O_HOURLY_HH,
     "curated_corpus_clean": _o_curated_clean(),
 }

@@ -238,3 +238,21 @@ def test_quota_prefilter_exact_equivalence(spark):
             for r in CU.quota_top_per_stratum(layout, quota=7, prefilter=True).collect()
         )
         assert plain == fast
+
+
+def test_pack_sequences_per_stratum_independence(spark):
+    """Per-stratum packing must equal packing each stratum separately."""
+    rng = random.Random(3)
+    rows = [(i, f"s{i % 3}", "tok " * rng.randint(0, 30)) for i in range(200)]
+    docs = spark.createDataFrame(rows, ["doc_id", "source", "text"]).repartition(4)
+    joint = sorted(
+        tuple(r)
+        for r in CU.pack_sequences(docs, budget=64, block_size=13, stratum_col="source").collect()
+    )
+    separate = []
+    for s in ("s0", "s1", "s2"):
+        for r in CU.pack_sequences(
+            docs.filter(F.col("source") == s), budget=64, block_size=13
+        ).collect():
+            separate.append((s, *tuple(r)))
+    assert joint == sorted(separate)
