@@ -33,15 +33,45 @@ from pyspark.sql.window import Window
 # ---------------------------------------------------------------------------
 
 #: (name, pattern, replacement) — applied IN ORDER. Patterns are valid
-#: in both Java regex (Spark) and RE2 (DuckDB): no lookaround, no
-#: backreferences. Order matters only across overlapping classes
-#: (email first: its local part may contain digit runs); the numeric
-#: patterns (ip/ssn/phone) are mutually disjoint by shape.
+#: in Java regex (Spark), RE2 (DuckDB) and Python ``re``: no
+#: lookaround, no backreferences, ASCII ``\d``. Chain order matters
+#: across overlapping classes:
+#:   * email first — its local part may contain digit runs;
+#:   * ipv6 before ipv4 — an IPv4-mapped IPv6 tail would otherwise be
+#:     eaten piecemeal;
+#:   * intl_phone before phone — "+1-555-123-4567" must mask whole,
+#:     not leave a dangling "+1-" around a US-phone match;
+#:   * cc LAST — by then SSN/phone/intl spans are already replaced, so
+#:     adjacent short digit groups can never merge into a fake card.
+#: Semantics notes (documented limits):
+#:   * cc is digit-RUN masking: 13–19 contiguous digits, or the common
+#:     4-4-4-x / 4-6-5 groupings with a single space/dash separator.
+#:     Luhn validation is not regex-expressible — over-masking long
+#:     digit runs is the safe direction for redaction.
+#:   * ipv6 matches full-form and ::-compressed WITH a leading group;
+#:     a bare leading "::" (e.g. "::1") is not matched (a \b cannot
+#:     anchor before ':').
+#:   * per-class counts are taken independently on the ORIGINAL text,
+#:     so a span nested in another class (e.g. the US-phone tail of
+#:     "+1-555-123-4567") counts for every class that matches it.
 PII_PATTERNS: list[tuple[str, str, str]] = [
     ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (
+        "ipv6",
+        r"\b(?:[0-9A-Fa-f]{1,4}:){7}[0-9A-Fa-f]{1,4}\b"
+        r"|\b(?:[0-9A-Fa-f]{1,4}:){1,6}:(?:[0-9A-Fa-f]{1,4})(?::[0-9A-Fa-f]{1,4}){0,5}\b"
+        r"|\b(?:[0-9A-Fa-f]{1,4}:){1,7}:",
+        "<IPV6>",
+    ),
     ("ip", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
     ("ssn", r"\b\d{3}-\d{2}-\d{4}\b", "<SSN>"),
+    ("intl_phone", r"\+\d{1,3}(?:[ -]?\d){7,12}\b", "<PHONE_INTL>"),
     ("phone", r"\b\d{3}-\d{3}-\d{4}\b", "<PHONE>"),
+    (
+        "cc",
+        r"\b(?:\d{13,19}|\d{4}[ -]\d{4}[ -]\d{4}[ -]\d{1,7}|\d{4}[ -]\d{6}[ -]\d{5})\b",
+        "<CC>",
+    ),
 ]
 
 
@@ -121,9 +151,15 @@ def contamination_check(
     Shape: both sides explode to (id, n-gram) map-side; the join is an
     EQUI-join on the n-gram string with the benchmark side broadcast
     (eval suites are thousands of items vs billions of docs), so the
-    corpus side never shuffles. Set ``broadcast_bench=False`` if the
-    benchmark side is genuinely huge — the join degrades to a hash
-    shuffle on the n-gram, still linear.
+    corpus side never shuffles. The broadcast happens AFTER the bench
+    side explodes to n-grams — size the default accordingly: roughly
+    ``bench_items × (tokens_per_item − n + 1) × (n·avg_word + 60 B)``
+    must fit Spark's broadcast ceiling (8 GB hard; driver/executor
+    heap in practice). At 8-grams ≈ 100 bytes/row that is ~10M bench
+    n-grams per GB — a 100k-item suite × 200 tokens ≈ 19M rows ≈ 2 GB:
+    near the practical limit. Set ``broadcast_bench=False`` beyond
+    that — the join degrades to a hash shuffle on the n-gram, still
+    linear (ADVICE r3).
 
     Returns one row per contaminated doc: hit count + the smallest
     offending bench id (deterministic evidence pointer).
@@ -240,12 +276,20 @@ def pack_sequences(
     global token offset and the window span it lands in.
 
     The global exclusive prefix-sum over id order is computed with the
-    same two-phase blocked decomposition as
-    sessions.sessionize_blocked (local cumsum per id-block, tiny
-    block-summary window, join offsets back) — a naive
-    ``Window.orderBy(id)`` would drag the entire corpus through ONE
-    task; this shape never materializes more than a block per task
-    plus one row per block for the carry.
+    same blocked decomposition as sessions.sessionize_blocked, but
+    with a THREE-level carry: local cumsum per id-block (parallel
+    windows), block-summary cumsum per superblock (parallel windows —
+    one row per block), and a global window over superblock summaries
+    only. A naive ``Window.orderBy(id)`` would drag the entire corpus
+    through ONE task; with the extra level the single-task window sees
+    n_docs / block_size² rows (10¹² docs at the default block size →
+    100 rows), closing the r3 tail risk where the block-summary stream
+    itself reached ~10⁷ rows in one task.
+
+    All index arithmetic is integer division (SQL ``div``, bigint in /
+    bigint out) — a double-division round-trip silently loses exactness
+    past 2⁵³, a real cliff for cumulative token offsets at 100 TB
+    (ADVICE r3).
 
     Token counts use the bpe-ish regex (dataset.token_count_bpe_ish).
 
@@ -262,7 +306,7 @@ def pack_sequences(
         *strat,
         F.col(id_col),
         n_tok.alias("n_tokens"),
-        (F.col(id_col).cast("bigint") / block_size).cast("bigint").alias("_block"),
+        F.expr(f"CAST(`{id_col}` AS BIGINT) div {block_size}").alias("_block"),
     )
 
     w_local = Window.partitionBy(*strat, "_block").orderBy(id_col)
@@ -274,34 +318,55 @@ def pack_sequences(
         ),
     )
 
-    # one row per (stratum, block) — tiny by construction
-    w_blk = Window.partitionBy(*strat).orderBy("_block") if strat else Window.orderBy("_block")
-    offsets = (
+    # level 2: one row per (stratum, block), cumsum WITHIN a superblock
+    # of ``block_size`` blocks — still a parallel, partitioned window
+    w_blk = Window.partitionBy(*strat, "_sblock").orderBy("_block")
+    blk = (
         local.groupBy(*strat, "_block")
         .agg(F.sum("n_tokens").alias("_blk_sum"))
+        .withColumn("_sblock", F.expr(f"_block div {block_size}"))
         .withColumn(
-            "_offset",
+            "_blk_excl",
             F.coalesce(
                 F.sum("_blk_sum").over(w_blk.rowsBetween(Window.unboundedPreceding, -1)),
                 F.lit(0).cast("bigint"),
             ),
         )
-        .select(*strat, "_block", "_offset")
     )
 
-    start = F.col("_local_excl") + F.col("_offset")
-    last = (start + F.greatest(F.col("n_tokens"), F.lit(1)) - 1)
-    return (
-        local.join(offsets, on=[*strat, "_block"], how="inner")
-        .select(
-            *strat,
-            F.col(id_col),
-            F.col("n_tokens"),
-            start.cast("bigint").alias("start_off"),
-            (start / budget).cast("bigint").alias("first_pack"),
-            (last / budget).cast("bigint").alias("last_pack"),
-            ((last / budget).cast("bigint") - (start / budget).cast("bigint") + 1).alias(
-                "n_packs"
+    # level 3: one row per (stratum, superblock) — n_docs/block_size²
+    # rows through the only unpartitioned window (≈100 at 10¹² docs)
+    w_s = Window.partitionBy(*strat).orderBy("_sblock") if strat else Window.orderBy("_sblock")
+    s_off = (
+        blk.groupBy(*strat, "_sblock")
+        .agg(F.sum("_blk_sum").alias("_s_sum"))
+        .withColumn(
+            "_s_off",
+            F.coalesce(
+                F.sum("_s_sum").over(w_s.rowsBetween(Window.unboundedPreceding, -1)),
+                F.lit(0).cast("bigint"),
             ),
         )
+        .select(*strat, "_sblock", "_s_off")
+    )
+    offsets = (
+        blk.join(s_off, on=[*strat, "_sblock"], how="inner")
+        .select(*strat, "_block", (F.col("_blk_excl") + F.col("_s_off")).alias("_offset"))
+    )
+
+    packed = local.join(offsets, on=[*strat, "_block"], how="inner").select(
+        *strat,
+        F.col(id_col),
+        F.col("n_tokens"),
+        (F.col("_local_excl") + F.col("_offset")).alias("start_off"),
+    )
+    last = "start_off + greatest(n_tokens, CAST(1 AS BIGINT)) - 1"
+    return packed.select(
+        *strat,
+        F.col(id_col),
+        F.col("n_tokens"),
+        F.col("start_off"),
+        F.expr(f"start_off div {budget}").alias("first_pack"),
+        F.expr(f"({last}) div {budget}").alias("last_pack"),
+        F.expr(f"(({last}) div {budget}) - (start_off div {budget}) + 1").alias("n_packs"),
     )

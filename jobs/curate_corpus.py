@@ -50,8 +50,28 @@ def main(argv: list[str]) -> None:
         # in-place column replacement — a pure projection, NOT a
         # join-back of a (doc_id, redacted) frame against the corpus
         docs = redact_text(docs)
-        if "n_chars" in docs.columns:  # keep derived metadata consistent
-            docs = docs.withColumn("n_chars", F.length("text").cast("bigint"))
+        # every text-DERIVED metadata column must be recomputed (or
+        # dropped) after redaction, not just n_chars — a stale
+        # fingerprint/token count would describe the pre-redaction
+        # text (ADVICE r3). Recompute the ones we know how to; drop
+        # the rest so nothing stale is ever written.
+        recompute = {
+            "n_chars": F.length("text").cast("bigint"),
+            "n_tokens": F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("bigint"),
+            # same definition as operators/dataset.py:fingerprint
+            "fingerprint": F.md5(
+                F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+            ),
+        }
+        for c in docs.columns:
+            if c in recompute:
+                docs = docs.withColumn(c, recompute[c])
+        stale = [
+            c for c in docs.columns
+            if c not in recompute and c.startswith(("minhash", "simhash", "ngram"))
+        ]
+        if stale:
+            docs = docs.drop(*stale)
     bench = spark.read.parquet(args.bench) if args.bench else None
     kept_ids = curate_corpus(
         docs,

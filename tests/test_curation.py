@@ -48,6 +48,42 @@ def test_redact_pii_planted(spark):
     assert out[4]["n_email"] == 2 and "<EMAIL> <EMAIL>" in out[4]["redacted"]
 
 
+def test_redact_pii_extended_classes(spark):
+    """r4 additions (VERDICT r3 #5): credit-card digit-run masking,
+    international phone, IPv6 — per-class planted spans, chain-order
+    interactions, and no-false-positive guards."""
+    rows = [
+        (0, "pay with 4111 1111 1111 1111 thanks"),          # 4-4-4-4
+        (1, "amex 3782 822463 10005 and visa 4111111111111111"),  # 4-6-5 + 16 contiguous
+        (2, "dial +1 202 555 0199 or +44-20-7946-0958"),
+        (3, "node 2001:db8:85a3::8a2e:370:7334 and fe80::1"),
+        (4, "full 2001:0db8:0000:0000:0000:ff00:0042:8329 up"),
+        # interactions: US-phone tail inside an intl number masks whole
+        (5, "cell +1-555-123-4567 ok"),
+        # adjacent ssn+phone must NOT merge into a fake card
+        (6, "ssn 123-45-6789 555-123-4567 end"),
+        # false positives: 12-digit run (too short for cc), order id
+        (7, "order 123456789012 ref 12:30:45"),
+    ]
+    out = {
+        r["doc_id"]: r
+        for r in CU.redact_pii(spark.createDataFrame(rows, ["doc_id", "text"])).collect()
+    }
+    assert out[0]["redacted"] == "pay with <CC> thanks" and out[0]["n_cc"] == 1
+    assert out[1]["redacted"] == "amex <CC> and visa <CC>" and out[1]["n_cc"] == 2
+    assert out[2]["redacted"] == "dial <PHONE_INTL> or <PHONE_INTL>"
+    assert out[2]["n_intl_phone"] == 2
+    assert out[3]["redacted"] == "node <IPV6> and <IPV6>"  # fe80::1 = compressed form
+    assert out[3]["n_ipv6"] == 2
+    assert out[4]["redacted"] == "full <IPV6> up" and out[4]["n_ipv6"] == 1
+    assert out[5]["redacted"] == "cell <PHONE_INTL> ok"
+    # nested span counts for both classes (documented count semantics)
+    assert out[5]["n_intl_phone"] == 1 and out[5]["n_phone"] == 1
+    assert out[6]["redacted"] == "ssn <SSN> <PHONE> end" and out[6]["n_cc"] == 0
+    assert out[7]["redacted"] == rows[7][1]
+    assert sum(out[7][f"n_{n}"] for n, _, _ in CU.PII_PATTERNS) == 0
+
+
 def test_redact_pii_is_pure_codegen(spark):
     df = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
     plan = _plan(CU.redact_pii(df))

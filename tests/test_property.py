@@ -353,7 +353,30 @@ def test_redact_pii_random_planted(spark):
     def mk_phone():
         return f"{rng.randint(200,999)}-{rng.randint(200,999)}-{rng.randint(1000,9999)}"
 
-    gens = {"email": mk_email, "ip": mk_ip, "ssn": mk_ssn, "phone": mk_phone}
+    def mk_cc():
+        sep = rng.choice([" ", "-", ""])
+        if sep:
+            return sep.join(str(rng.randint(1000, 9999)) for _ in range(4))
+        return "".join(str(rng.randint(0, 9)) for _ in range(rng.randint(13, 19)))
+
+    def mk_intl():
+        # fixed 10 national digits: below the 13-digit cc floor, so an
+        # intl number can never double-count as a card
+        sep = rng.choice([" ", "-"])
+        return f"+{rng.randint(1, 99)}{sep}" + sep.join(
+            str(rng.randint(100, 999)) for _ in range(3)
+        ) + f"{sep}{rng.randint(0, 9)}"
+
+    def mk_ipv6():
+        groups = [f"{rng.randint(0, 0xFFFF):x}" for _ in range(8)]
+        if rng.random() < 0.5:  # ::-compressed with leading+trailing groups
+            return ":".join(groups[:2]) + "::" + ":".join(groups[5:])
+        return ":".join(groups)
+
+    gens = {
+        "email": mk_email, "ip": mk_ip, "ssn": mk_ssn, "phone": mk_phone,
+        "cc": mk_cc, "intl_phone": mk_intl, "ipv6": mk_ipv6,
+    }
     rows, expected = [], []
     for i in range(60):
         planted = {name: rng.randint(0, 3) for name in gens}

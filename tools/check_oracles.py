@@ -1,7 +1,10 @@
 """Local stand-in for the driver's correctness gate: run every
 ``queries()`` entry on Spark and its ``oracle_sql()`` twin on DuckDB
 at the given sf dir; compare row count, column names, and
-order-insensitive values. Usage: python tools/check_oracles.py [sf_dir]
+order-insensitive values.
+Usage: python tools/check_oracles.py [sf_dir] [query_name ...]
+(query names after sf_dir restrict the run — targeted re-checks while
+iterating; the round gate is always the full no-filter run)
 """
 
 from __future__ import annotations
@@ -36,13 +39,19 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
     return df.sort_values(list(df.columns)).reset_index(drop=True)
 
 
-def main(sf_dir: str) -> int:
+def main(sf_dir: str, only: list[str] | None = None) -> int:
     spark = get_spark(8, 8, app_name="oracle-check")
     con = duckdb.connect()
     for t in TABLES:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
 
     qs, os_ = queries(), oracle_sql()
+    if only:
+        unknown = [n for n in only if n not in qs]
+        if unknown:
+            print(f"unknown query names: {unknown}")
+            return 1
+        qs = {n: qs[n] for n in only}
     failures = 0
     for name, fn in qs.items():
         t0 = time.time()
@@ -85,4 +94,9 @@ def main(sf_dir: str) -> int:
 
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"))
+    sys.exit(
+        main(
+            sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01",
+            sys.argv[2:] or None,
+        )
+    )
