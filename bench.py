@@ -197,6 +197,12 @@ def main() -> None:
     # consolidated per-sink files) — the end-to-end sink number
     write_sec = None
     if not os.environ.get("SPARK_GRAFT_SKIP_WRITE"):
+        # second capacity probe adjacent to the most weather-sensitive
+        # phase: the write has measured 27.7-104.9 s across rounds on
+        # unchanged code (r4 profiling: full-pipeline compute is ~7 s
+        # via a noop sink; the rest is parquet encode+zstd+IO, which
+        # noisy-neighbor steal swings 2-4x minute to minute)
+        probe["sha256_mhs_pre_write"] = _sha256_probe()
         import shutil
         import tempfile
 

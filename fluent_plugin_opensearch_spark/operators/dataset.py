@@ -173,12 +173,17 @@ def minhash_lsh_pairs(
         ).alias("lsh"),
     ).select(id_col, "lsh.band", "lsh.bucket")
 
-    # mega-bucket guard (see docstring): window count per bucket is a
-    # second shuffle on the same (band, bucket) key — co-partitioned
-    # with the join that follows, so effectively free
-    bucket_counts = banded.groupBy("band", "bucket").agg(F.count(F.lit(1)).alias("_bn"))
+    # mega-bucket guard (see docstring): per-(band,bucket) count as a
+    # WINDOW over the key the self-join shuffles on anyway — one
+    # exchange per join side, no aggregate+join branch. (r3 shipped
+    # the aggregate+join variant; because `banded` is unpersisted, the
+    # whole guard chain re-ran on BOTH self-join sides and the bench
+    # measured it ~1.8× over the unguarded r2 plan — VERDICT r3 #4.
+    # The window's partitioning also feeds the self-join directly.)
     banded = (
-        banded.join(bucket_counts, on=["band", "bucket"], how="inner")
+        banded.withColumn(
+            "_bn", F.count(F.lit(1)).over(Window.partitionBy("band", "bucket"))
+        )
         .filter(F.col("_bn") <= max_bucket_size)
         .drop("_bn")
     )
@@ -313,9 +318,11 @@ def simhash_neardup_pairs(
             )
         ).alias("lsh"),
     ).select(id_col, "simhash", "lsh.band", "lsh.block")
-    block_counts = banded.groupBy("band", "block").agg(F.count(F.lit(1)).alias("_bn"))
+    # window-count guard — same rationale as minhash_lsh_pairs
     banded = (
-        banded.join(block_counts, on=["band", "block"], how="inner")
+        banded.withColumn(
+            "_bn", F.count(F.lit(1)).over(Window.partitionBy("band", "block"))
+        )
         .filter(F.col("_bn") <= max_bucket_size)
         .drop("_bn")
     )
@@ -740,11 +747,12 @@ def embedding_neardup_pairs(
         ).alias("lsh"),
     ).select(id_col, "lsh.band", "lsh.bucket")
 
-    # mega-bucket guard (the minhash `_bn` pattern): co-partitioned
-    # with the self-join that follows, so effectively free
-    bucket_counts = banded.groupBy("band", "bucket").agg(F.count(F.lit(1)).alias("_bn"))
+    # mega-bucket guard (the minhash `_bn` WINDOW pattern): counts ride
+    # the same exchange the self-join needs — no aggregate+join branch
     banded = (
-        banded.join(bucket_counts, on=["band", "bucket"], how="inner")
+        banded.withColumn(
+            "_bn", F.count(F.lit(1)).over(Window.partitionBy("band", "bucket"))
+        )
         .filter(F.col("_bn") <= max_bucket_size)
         .drop("_bn")
     )
