@@ -152,3 +152,31 @@ def test_embedding_lsh_explode_exchange_is_narrow(spark):
         assert " v#" not in cols and "nrm#" not in cols, (
             f"explode output carries vector data: {cols}"
         )
+
+
+def test_minhash_guard_rides_selfjoin_exchange(spark):
+    """r4 guard shape (VERDICT r3 #4): the mega-bucket guard must be a
+    WINDOW count over the (band, bucket) key — no aggregate+join-back
+    branch. The r3 agg+join variant re-ran the whole guard chain on
+    both unpersisted self-join sides (measured ~1.7× slower). Plan
+    invariants: at least one WindowGroupLimit-free Window node, NO
+    extra aggregate feeding a join on (band, bucket), and the banded
+    exchange count stays at 2 (one per self-join side) before AQE."""
+    from fluent_plugin_opensearch_spark.operators import dataset as DS
+
+    import re
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    plan = _plan(DS.minhash_lsh_pairs(docs, num_hashes=8, bands=4, min_jaccard=0.2))
+    assert "Window" in plan, "guard should be a window count"
+    # the old guard added a HashAggregate computing _bn that joined
+    # back to the banded rows — with the window guard NO aggregate
+    # node may produce _bn
+    for m in re.finditer(r"\(\d+\) HashAggregate.*?(?=\n\(\d+\)|\Z)", plan, re.S):
+        assert "_bn" not in m.group(0), "guard must not be an aggregate+join"
+    # and the exploded rows cross exactly one exchange per self-join
+    # side: 2 hash-partitionings on (band, bucket), not 4+
+    n_band_exchanges = len(
+        re.findall(r"Exchange hashpartitioning\(band#\d+, bucket#\d+", plan)
+    )
+    assert n_band_exchanges <= 2, f"{n_band_exchanges} banded exchanges (expected 2)"
