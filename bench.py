@@ -208,9 +208,30 @@ def main() -> None:
 
         from fluent_plugin_opensearch_spark.sinks.writer import SinkCatalog, append_to_sink
 
+        # in-situ WRITE-capacity probe: a 10% sample through the exact
+        # same plan+encode+IO path, timed and recorded. The sha256
+        # probe measures CPU only, but the write phase's environmental
+        # swing is 3-6x and sits in shuffle+parquet+IO bandwidth (r4:
+        # within one session, 2M-sample and 20M-full writes ran at the
+        # SAME per-row rate — 193k vs 208k rows/s — while a different
+        # session ran identical code at 1.25M rows/s; JIT warm-up was
+        # ruled out, it is machine weather). write_sec is therefore
+        # graded against ~10 x write_probe_sec, not across rounds.
+        good, _dlq = split_streams(build(spark.read.parquet(path), CFG, spark), CFG)
+        small, _ = split_streams(
+            build(spark.read.parquet(path).sample(0.1, seed=7), CFG, spark), CFG
+        )
+        pdir = tempfile.mkdtemp(prefix="bench_sink_probe_")
+        try:
+            t0 = time.time()
+            append_to_sink(small, SinkCatalog(pdir), "sink", sink_partitions=2 * cpus)
+            probe["write_probe_sec"] = round(time.time() - t0, 3)
+            probe["write_probe_frac"] = 0.1
+        finally:
+            shutil.rmtree(pdir, ignore_errors=True)
+
         # best-of-2: the sandbox VM's minute-to-minute steal is ±25%+
         # (CLAUDE.md), and one cold write run has mis-graded a round
-        good, _dlq = split_streams(build(spark.read.parquet(path), CFG, spark), CFG)
         attempts = []
         for _ in range(2):
             wdir = tempfile.mkdtemp(prefix="bench_sink_")

@@ -182,6 +182,66 @@ def contamination_check(
 
 
 # ---------------------------------------------------------------------------
+# Repetition quality signals
+# ---------------------------------------------------------------------------
+
+def repetition_signals(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Gopher-style repetition quality signals (Rae et al. 2021,
+    appendix A1 repetition filters — public): per-doc counts of
+    duplicated lines, characters inside duplicated lines, and
+    word-bigram repetition including the most-frequent bigram's
+    occurrence count. Integer-exact outputs (the filter thresholds are
+    consumer-side ratios, e.g. ``n_dup_lines/n_lines > 0.3`` → drop).
+
+    Scale shape: lines and bigrams EXPLODE map-side, then one partial
+    hash-agg per (doc, key) and a per-doc re-agg — two bounded
+    shuffles regardless of document length. The alternative (per-row
+    array lambdas comparing each line against the whole line array) is
+    O(L²) per doc AND re-evaluates the outer split per element
+    (CLAUDE.md lambda-recompute gotcha); a 1 GB document streams
+    through the hash aggregate here instead.
+    """
+    # line stats: occurrences per (doc, line) → duplicate counts
+    lc = (
+        docs.select(F.col(id_col), F.explode(F.split(F.col(text_col), "\n")).alias("_l"))
+        .groupBy(id_col, "_l")
+        .agg(F.count(F.lit(1)).alias("_c"))
+    )
+    dup = F.col("_c") > 1
+    lstats = lc.groupBy(id_col).agg(
+        F.sum("_c").cast("bigint").alias("n_lines"),
+        F.sum(F.when(dup, F.col("_c")).otherwise(0)).cast("bigint").alias("n_dup_lines"),
+        F.sum(F.when(dup, F.col("_c") * F.length("_l")).otherwise(0))
+        .cast("bigint")
+        .alias("dup_line_chars"),
+    )
+    # bigram stats over the whole doc (whitespace tokens, line breaks
+    # are token separators too — standard Gopher treatment)
+    bg = (
+        word_ngrams(docs, 2, id_col, text_col)
+        .groupBy(id_col, "ngram")
+        .agg(F.count(F.lit(1)).alias("_c"))
+    )
+    bstats = bg.groupBy(id_col).agg(
+        F.sum("_c").cast("bigint").alias("n_bigrams"),
+        F.sum(F.when(dup, F.col("_c")).otherwise(0)).cast("bigint").alias("n_dup_bigrams"),
+        F.max("_c").cast("bigint").alias("top_bigram_n"),
+    )
+    # single-token docs have no bigrams → left join, zero-fill
+    return lstats.join(bstats, id_col, "left").select(
+        id_col,
+        "n_lines",
+        "n_dup_lines",
+        "dup_line_chars",
+        F.coalesce("n_bigrams", F.lit(0).cast("bigint")).alias("n_bigrams"),
+        F.coalesce("n_dup_bigrams", F.lit(0).cast("bigint")).alias("n_dup_bigrams"),
+        F.coalesce("top_bigram_n", F.lit(0).cast("bigint")).alias("top_bigram_n"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Deterministic sampling for dataset mixing
 # ---------------------------------------------------------------------------
 

@@ -1748,6 +1748,53 @@ FROM counts QUALIFY rank <= 3"""
 )
 
 
+def _docs_lined(spark, sf_dir):
+    """documents re-lined: every 5th token boundary becomes a newline
+    (same regex in the oracle; Java ``$1`` vs RE2 ``\\1`` backref
+    syntax differs, group semantics identical) — the synthetic corpus
+    has no newlines, so line-repetition signals need planted lines."""
+    lined = F.regexp_replace(F.col("text"), r"((?:\S+ ){4}\S+) ", "$1\n")
+    return _docs(spark, sf_dir).select("doc_id", lined.alias("text"))
+
+
+def q_repetition_signals(spark, sf_dir):
+    """Gopher-style repetition quality counts (r4): duplicate lines,
+    chars in duplicate lines, repeated/top word-bigrams."""
+    return CU.repetition_signals(_docs_lined(spark, sf_dir))
+
+
+O_REPETITION = r"""
+WITH lined AS (
+  SELECT doc_id, regexp_replace(text, '((?:\S+ ){4}\S+) ', '\1' || chr(10), 'g') AS text
+  FROM documents),
+lc AS (
+  SELECT doc_id, l, count(*) AS c, length(l) AS ln
+  FROM (SELECT doc_id, unnest(string_split(text, chr(10))) AS l FROM lined)
+  GROUP BY doc_id, l),
+lstats AS (
+  SELECT doc_id,
+         CAST(sum(c) AS BIGINT) AS n_lines,
+         CAST(coalesce(sum(c) FILTER (WHERE c > 1), 0) AS BIGINT) AS n_dup_lines,
+         CAST(coalesce(sum(c * ln) FILTER (WHERE c > 1), 0) AS BIGINT) AS dup_line_chars
+  FROM lc GROUP BY doc_id),
+toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM lined),
+bg AS (
+  SELECT doc_id, concat(t[CAST(i AS INT)], ' ', t[CAST(i + 1 AS INT)]) AS b, count(*) AS c
+  FROM toks, unnest(range(1, len(t))) AS u(i)
+  GROUP BY doc_id, b),
+bstats AS (
+  SELECT doc_id,
+         CAST(sum(c) AS BIGINT) AS n_bigrams,
+         CAST(coalesce(sum(c) FILTER (WHERE c > 1), 0) AS BIGINT) AS n_dup_bigrams,
+         CAST(max(c) AS BIGINT) AS top_bigram_n
+  FROM bg GROUP BY doc_id)
+SELECT l.doc_id, n_lines, n_dup_lines, dup_line_chars,
+       coalesce(n_bigrams, 0) AS n_bigrams,
+       coalesce(n_dup_bigrams, 0) AS n_dup_bigrams,
+       coalesce(top_bigram_n, 0) AS top_bigram_n
+FROM lstats l LEFT JOIN bstats b USING (doc_id)"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -1822,6 +1869,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lang_source_profile": q_lang_source_profile,  # lang_pred covers lang-id
     "top_convs_per_day": q_top_convs_per_day,  # rollup_cascade covers re-agg
     "grok_dictionary": q_grok_dictionary,  # grok_extract covers the dialect
+    # r4 additions (oracle-checked at the local gate; the driver's
+    # 50-row window is already full of non-redundant operators)
+    "repetition_signals": q_repetition_signals,
     # rows-only checks (engine-specific hashing / pandas-UDF stages)
     "simhash_neardup": q_simhash_neardup,
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
@@ -1891,4 +1941,5 @@ ORACLES: dict[str, str] = {
     "sequence_packing_by_source": O_PACKING_BY_SOURCE,
     "hourly_heavy_hitters": O_HOURLY_HH,
     "curated_corpus_clean": _o_curated_clean(),
+    "repetition_signals": O_REPETITION,
 }

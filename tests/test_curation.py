@@ -292,3 +292,58 @@ def test_pack_sequences_per_stratum_independence(spark):
         ).collect():
             separate.append((s, *tuple(r)))
     assert joint == sorted(separate)
+
+
+# ---------------------------------------------------------------------------
+# Repetition quality signals (Gopher-style, r4)
+# ---------------------------------------------------------------------------
+
+def test_repetition_signals_planted(spark):
+    rows = [
+        (0, "a b\na b\nc d"),   # "a b" line duplicated; bigram "a b" x2
+        (1, "x y z"),           # nothing repeats
+        (2, "solo"),            # single token: no bigrams at all
+        (3, "p\np\np"),         # all lines identical; bigram "p p" x2
+    ]
+    out = {
+        r["doc_id"]: r
+        for r in CU.repetition_signals(spark.createDataFrame(rows, ["doc_id", "text"])).collect()
+    }
+    assert (out[0]["n_lines"], out[0]["n_dup_lines"], out[0]["dup_line_chars"]) == (3, 2, 6)
+    # tokens cross line breaks: a b a b c d -> 5 bigrams, "a b" twice
+    assert (out[0]["n_bigrams"], out[0]["n_dup_bigrams"], out[0]["top_bigram_n"]) == (5, 2, 2)
+    assert (out[1]["n_lines"], out[1]["n_dup_lines"], out[1]["dup_line_chars"]) == (1, 0, 0)
+    assert (out[1]["n_bigrams"], out[1]["n_dup_bigrams"], out[1]["top_bigram_n"]) == (2, 0, 1)
+    assert (out[2]["n_bigrams"], out[2]["n_dup_bigrams"], out[2]["top_bigram_n"]) == (0, 0, 0)
+    assert (out[3]["n_lines"], out[3]["n_dup_lines"], out[3]["dup_line_chars"]) == (3, 3, 3)
+    assert (out[3]["n_bigrams"], out[3]["n_dup_bigrams"], out[3]["top_bigram_n"]) == (2, 2, 2)
+
+
+def test_repetition_signals_random_parity(spark):
+    """Random docs vs an independent pure-Python computation (the
+    property-test pattern that caught two real r2 bugs)."""
+    import re
+    from collections import Counter
+
+    rng = random.Random(41)
+    vocab = ["aa", "bb", "cc", "dd"]
+    rows = []
+    for i in range(60):
+        n_ln = rng.randint(1, 6)
+        lines = [" ".join(rng.choices(vocab, k=rng.randint(1, 4))) for _ in range(n_ln)]
+        rows.append((i, "\n".join(lines)))
+    out = {
+        r["doc_id"]: r
+        for r in CU.repetition_signals(spark.createDataFrame(rows, ["doc_id", "text"])).collect()
+    }
+    for i, text in rows:
+        lc = Counter(text.split("\n"))
+        toks = re.split(r"\s+", text.strip())
+        bc = Counter(zip(toks, toks[1:]))
+        r = out[i]
+        assert r["n_lines"] == sum(lc.values())
+        assert r["n_dup_lines"] == sum(c for c in lc.values() if c > 1)
+        assert r["dup_line_chars"] == sum(c * len(l) for l, c in lc.items() if c > 1)
+        assert r["n_bigrams"] == sum(bc.values())
+        assert r["n_dup_bigrams"] == sum(c for c in bc.values() if c > 1)
+        assert r["top_bigram_n"] == (max(bc.values()) if bc else 0)
