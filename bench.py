@@ -66,6 +66,9 @@ BENCH_QUERIES = [
     "pii_redaction",
     "contamination",
     "sequence_packing",
+    # round-4 additions
+    "repetition_signals",
+    "paragraph_dedup",
 ]
 
 CFG = PipelineConfig(logstash_format=True, logstash_prefix="logs")

@@ -241,6 +241,65 @@ def repetition_signals(
     )
 
 
+def paragraph_dedup(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = "\n",
+) -> DataFrame:
+    """Cross-document paragraph-level exact dedup (the paragraph-grain
+    variant of Lee et al. 2022, "Deduplicating Training Data Makes
+    Language Models Better" — public): every occurrence of a paragraph
+    after its corpus-wide FIRST occurrence (ordered by doc id, then
+    position in the doc) is removed, and documents are reassembled
+    from their surviving paragraphs. This is the boilerplate-stripping
+    pass — headers/footers/license blocks repeated across millions of
+    pages survive exactly once.
+
+    Skew-critical shape: the winner per paragraph is computed with
+    ``groupBy(hash).agg(min(struct(doc, pos)))`` — a map-side partial
+    aggregate — NOT a window over the paragraph key: a boilerplate
+    paragraph repeated 10⁹ times would funnel its whole group through
+    one window task, while min() reduces it map-side to one row per
+    partition. The join back to occurrences is an equi-join on the
+    md5 hash (narrow key, AQE skew-split handles the hot hash).
+    Reassembly is one groupBy over the doc id with an array_sort on
+    (pos, paragraph) — per-doc data, bounded by document size.
+    """
+    pars = docs.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "par"),
+    ).withColumn("_h", F.md5(F.col("par")))
+    winners = pars.groupBy("_h").agg(
+        F.min(F.struct(F.col(id_col).alias("d"), F.col("pos").alias("p"))).alias("_w")
+    )
+    kept = (
+        pars.join(winners, "_h")
+        .filter((F.col(id_col) == F.col("_w.d")) & (F.col("pos") == F.col("_w.p")))
+        .drop("_h", "_w")
+    )
+    reassembled = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "par"))), lambda s: s["par"]
+            ),
+            sep,
+        ).alias("text"),
+        F.count(F.lit(1)).cast("bigint").alias("n_pars_kept"),
+    )
+    n_pars = F.size(F.split(F.col(text_col), sep)).cast("bigint").alias("n_pars")
+    return (
+        docs.select(F.col(id_col), n_pars)
+        .join(reassembled, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("text", F.lit("")).alias("text"),
+            "n_pars",
+            F.coalesce("n_pars_kept", F.lit(0).cast("bigint")).alias("n_pars_kept"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Deterministic sampling for dataset mixing
 # ---------------------------------------------------------------------------

@@ -529,10 +529,14 @@ def dedup_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
             .groupBy("src")
             .agg(F.min("cluster_id").alias("nbr_min"))
         )
+        # carry the old label through the checkpoint so the changed
+        # check is a filter on the materialized frame, not a second
+        # join against the previous labels
         new_labels = (
             labels.join(nbr, labels["id"] == nbr["src"], "left")
             .select(
                 F.col("id"),
+                F.col("cluster_id").alias("_old"),
                 F.least(F.col("cluster_id"), F.coalesce(F.col("nbr_min"), F.col("cluster_id"))).alias(
                     "cluster_id"
                 ),
@@ -540,13 +544,9 @@ def dedup_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
             .localCheckpoint()
         )
         changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
-            .limit(1)
-            .count()
+            new_labels.filter(F.col("cluster_id") != F.col("_old")).limit(1).count()
         )
-        labels = new_labels
+        labels = new_labels.drop("_old")
         if changed == 0:
             break
     return labels.select(F.col("id").alias("doc_id"), "cluster_id")
@@ -579,6 +579,7 @@ def dedup_clusters_star(pairs: DataFrame, max_iter: int = 20, stats: dict | None
     edges = canon(
         pairs.select(F.col("doc_a").alias("x"), F.col("doc_b").alias("y"))
     ).localCheckpoint()
+    n_edges = edges.count()
     rounds = 0
     converged = False
     for _ in range(max_iter):
@@ -600,11 +601,16 @@ def dedup_clusters_star(pairs: DataFrame, max_iter: int = 20, stats: dict | None
             .select(F.col("a").alias("x"), F.col("mn").alias("y"))
             .unionByName(minsS.select(F.col("b").alias("x"), F.col("mn").alias("y")))
         ).localCheckpoint()
+        # convergence: both sides are canonical DISTINCT edge sets, so
+        # equal count + empty anti-join is exact set equality — the
+        # anti-join beats exceptAll (no multiset bookkeeping) and the
+        # previous round's count is cached instead of recounted
+        n_ss = ss.count()
         converged = (
-            ss.count() == edges.count()
-            and ss.exceptAll(edges).limit(1).count() == 0
+            n_ss == n_edges
+            and ss.join(edges, ["a", "b"], "left_anti").limit(1).count() == 0
         )
-        edges = ss
+        edges, n_edges = ss, n_ss
         if converged:
             break
     if not converged:

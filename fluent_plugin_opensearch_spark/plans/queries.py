@@ -1795,6 +1795,35 @@ SELECT l.doc_id, n_lines, n_dup_lines, dup_line_chars,
 FROM lstats l LEFT JOIN bstats b USING (doc_id)"""
 
 
+def q_paragraph_dedup(spark, sf_dir):
+    """Cross-doc paragraph keep-first dedup + reassembly (r4), over
+    the re-lined corpus (each 5-token line = one 'paragraph')."""
+    return CU.paragraph_dedup(_docs_lined(spark, sf_dir))
+
+
+O_PARAGRAPH_DEDUP = r"""
+WITH lined AS (
+  SELECT doc_id, regexp_replace(text, '((?:\S+ ){4}\S+) ', '\1' || chr(10), 'g') AS text
+  FROM documents),
+pars AS (
+  SELECT doc_id, CAST(i AS INT) AS pos, t[CAST(i AS INT)] AS par
+  FROM (SELECT doc_id, string_split(text, chr(10)) AS t FROM lined),
+       unnest(range(1, len(t) + 1)) AS u(i)),
+kept AS (
+  SELECT doc_id, pos, par FROM (
+    SELECT doc_id, pos, par,
+           row_number() OVER (PARTITION BY par ORDER BY doc_id, pos) AS rn
+    FROM pars) WHERE rn = 1),
+reas AS (
+  SELECT doc_id, string_agg(par, chr(10) ORDER BY pos) AS text,
+         CAST(count(*) AS BIGINT) AS n_pars_kept
+  FROM kept GROUP BY doc_id),
+np AS (SELECT doc_id, CAST(len(string_split(text, chr(10))) AS BIGINT) AS n_pars FROM lined)
+SELECT n.doc_id, coalesce(r.text, '') AS text, n.n_pars,
+       coalesce(r.n_pars_kept, 0) AS n_pars_kept
+FROM np n LEFT JOIN reas r USING (doc_id)"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -1872,6 +1901,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # r4 additions (oracle-checked at the local gate; the driver's
     # 50-row window is already full of non-redundant operators)
     "repetition_signals": q_repetition_signals,
+    "paragraph_dedup": q_paragraph_dedup,
     # rows-only checks (engine-specific hashing / pandas-UDF stages)
     "simhash_neardup": q_simhash_neardup,
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
@@ -1942,4 +1972,5 @@ ORACLES: dict[str, str] = {
     "hourly_heavy_hitters": O_HOURLY_HH,
     "curated_corpus_clean": _o_curated_clean(),
     "repetition_signals": O_REPETITION,
+    "paragraph_dedup": O_PARAGRAPH_DEDUP,
 }

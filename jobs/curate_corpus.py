@@ -1,7 +1,7 @@
-"""Training-data corpus curation job: [PII redaction →] quality gate →
-exact dedup → MinHash near-dup dedup (keep one doc per cluster)
-[→ benchmark decontamination], writing the curated corpus + a stats
-line. The batch-mode composition of the dataset/curation operators
+"""Training-data corpus curation job: [PII redaction →] [paragraph
+dedup →] quality gate → exact dedup → MinHash near-dup dedup (keep one
+doc per cluster) [→ benchmark decontamination], writing the curated
+corpus + a stats line. The batch-mode composition of the dataset/curation operators
 (operators/dataset.py:curate_corpus, operators/curation.py).
 
     spark-submit --py-files dist/fposs.zip jobs/curate_corpus.py \\
@@ -32,6 +32,11 @@ def main(argv: list[str]) -> None:
     p.add_argument("--bands", type=int, default=8)
     p.add_argument("--redact-pii", action="store_true",
                    help="mask PII before dedup; the output corpus is redacted")
+    p.add_argument("--paragraph-dedup", action="store_true",
+                   help="strip corpus-wide repeated paragraphs (keep first "
+                        "occurrence) before the quality gate")
+    p.add_argument("--paragraph-sep", default="\n",
+                   help="paragraph separator for --paragraph-dedup")
     p.add_argument("--bench", default=None,
                    help="benchmark parquet (bench_id, text) for decontamination")
     p.add_argument("--contamination-n", type=int, default=8)
@@ -40,21 +45,37 @@ def main(argv: list[str]) -> None:
     from pyspark.sql import SparkSession
     from pyspark.sql import functions as F
 
-    from fluent_plugin_opensearch_spark.operators.curation import redact_text
+    from fluent_plugin_opensearch_spark.operators.curation import (
+        paragraph_dedup,
+        redact_text,
+    )
     from fluent_plugin_opensearch_spark.operators.dataset import curate_corpus
 
     spark = SparkSession.builder.appName("curate-corpus").getOrCreate()
     docs = spark.read.parquet(args.input)
     n_in = docs.count()
+    text_mutated = False
     if args.redact_pii:
         # in-place column replacement — a pure projection, NOT a
         # join-back of a (doc_id, redacted) frame against the corpus
         docs = redact_text(docs)
+        text_mutated = True
+    if args.paragraph_dedup:
+        # strip cross-doc boilerplate paragraphs (corpus-wide
+        # keep-first) BEFORE the quality gate, so a page that is
+        # mostly repeated boilerplate is judged on its unique content
+        deduped = paragraph_dedup(docs, sep=args.paragraph_sep)
+        docs = docs.drop("text").join(
+            deduped.select("doc_id", "text"), "doc_id", "inner"
+        )
+        text_mutated = True
+    if text_mutated:
         # every text-DERIVED metadata column must be recomputed (or
-        # dropped) after redaction, not just n_chars — a stale
-        # fingerprint/token count would describe the pre-redaction
-        # text (ADVICE r3). Recompute the ones we know how to; drop
-        # the rest so nothing stale is ever written.
+        # dropped) after any text mutation (redaction / paragraph
+        # strip), not just n_chars — a stale fingerprint/token count
+        # would describe the pre-mutation text (ADVICE r3). Recompute
+        # the ones we know how to; drop the rest so nothing stale is
+        # ever written.
         recompute = {
             "n_chars": F.length("text").cast("bigint"),
             "n_tokens": F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("bigint"),

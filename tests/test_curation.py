@@ -347,3 +347,56 @@ def test_repetition_signals_random_parity(spark):
         assert r["n_bigrams"] == sum(bc.values())
         assert r["n_dup_bigrams"] == sum(c for c in bc.values() if c > 1)
         assert r["top_bigram_n"] == (max(bc.values()) if bc else 0)
+
+
+# ---------------------------------------------------------------------------
+# Cross-document paragraph dedup (keep-first, r4)
+# ---------------------------------------------------------------------------
+
+def test_paragraph_dedup_planted(spark):
+    rows = [
+        (0, "header\nalpha beta\nfooter"),
+        (1, "header\ngamma delta\nfooter"),   # header+footer seen in doc 0
+        (2, "header\nheader\nunique"),        # in-doc repeat: 2nd "header" dropped too
+        (3, "alpha beta"),                    # whole doc is a dup paragraph
+    ]
+    out = {
+        r["doc_id"]: r
+        for r in CU.paragraph_dedup(spark.createDataFrame(rows, ["doc_id", "text"])).collect()
+    }
+    assert out[0]["text"] == "header\nalpha beta\nfooter"
+    assert (out[0]["n_pars"], out[0]["n_pars_kept"]) == (3, 3)
+    assert out[1]["text"] == "gamma delta"
+    assert (out[1]["n_pars"], out[1]["n_pars_kept"]) == (3, 1)
+    assert out[2]["text"] == "unique"
+    assert (out[2]["n_pars"], out[2]["n_pars_kept"]) == (3, 1)
+    assert out[3]["text"] == ""
+    assert (out[3]["n_pars"], out[3]["n_pars_kept"]) == (1, 0)
+
+
+def test_paragraph_dedup_random_parity(spark):
+    """Random corpora vs an independent Python keep-first computation;
+    also checks total-paragraph conservation (each distinct paragraph
+    survives exactly once corpus-wide)."""
+    rng = random.Random(17)
+    paras = [f"p{i}" for i in range(12)]
+    rows = [
+        (i, "\n".join(rng.choices(paras, k=rng.randint(1, 6)))) for i in range(50)
+    ]
+    out = {
+        r["doc_id"]: r
+        for r in CU.paragraph_dedup(spark.createDataFrame(rows, ["doc_id", "text"])).collect()
+    }
+    seen: set[str] = set()
+    for i, text in rows:  # rows are in doc_id order = keep-first order
+        kept = []
+        for p in text.split("\n"):
+            if p not in seen:
+                seen.add(p)
+                kept.append(p)
+        r = out[i]
+        assert r["text"] == "\n".join(kept)
+        assert r["n_pars"] == len(text.split("\n"))
+        assert r["n_pars_kept"] == len(kept)
+    total_kept = sum(r["n_pars_kept"] for r in out.values())
+    assert total_kept == len(seen)

@@ -180,3 +180,32 @@ def test_minhash_guard_rides_selfjoin_exchange(spark):
         re.findall(r"Exchange hashpartitioning\(band#\d+, bucket#\d+", plan)
     )
     assert n_band_exchanges <= 2, f"{n_band_exchanges} banded exchanges (expected 2)"
+
+
+def test_paragraph_dedup_winner_is_partial_agg_not_window(spark):
+    """r4 paragraph dedup: the corpus-wide keep-first winner must be a
+    map-side partial min aggregate over the paragraph hash, NOT a
+    window over the paragraph key — a boilerplate paragraph repeated
+    10^9 times would funnel its whole group through one window task,
+    while min() reduces it per-partition. The only window-free
+    invariants that survive AQE/codegen renames: zero Window nodes in
+    the whole plan, and a partial_min aggregate present."""
+    from fluent_plugin_opensearch_spark.operators import curation as CU
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    plan = _plan(CU.paragraph_dedup(docs))
+    assert "Window" not in plan, "keep-first must not use a window over the paragraph"
+    assert "partial_min" in plan, "winner should partial-aggregate map-side"
+    assert "BatchEvalPython" not in plan
+
+
+def test_repetition_signals_no_python_no_window(spark):
+    """r4 repetition signals: pure explode->hash-agg; no window, no
+    Python, and the line/bigram counts partial-aggregate map-side."""
+    from fluent_plugin_opensearch_spark.operators import curation as CU
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    plan = _plan(CU.repetition_signals(docs))
+    assert "Window" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "partial_count" in plan or "partial_sum" in plan

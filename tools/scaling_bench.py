@@ -125,7 +125,13 @@ def main() -> None:
             r = run_once(rows, **kw)
             if label not in results or r["value"] > results[label]["value"]:
                 results[label] = r
-            print(f"[rep {rep}] {label}: {r['value']:,.0f} turns/sec ({r['pipeline_sec']}s)")
+            pr = r.get("probe") or {}
+            print(
+                f"[rep {rep}] {label}: {r['value']:,.0f} turns/sec "
+                f"({r['pipeline_sec']}s; probe {pr.get('sha256_mhs')} Mh/s, "
+                f"load {pr.get('loadavg_start')})",
+                flush=True,
+            )
 
     keys = list(runs)
     eff_cores = results[keys[1]]["value"] / (4 * results[keys[0]]["value"])
@@ -134,8 +140,15 @@ def main() -> None:
     print(f"efficiency executors 1→4:  {eff_exec:.3f}")
 
     stamp = datetime.now(timezone.utc).strftime("%Y-%m-%d %H:%M UTC")
+    # each kept run's own capacity probe (sha256 under ITS cpuset) and
+    # start loadavg ride along so a steal-confounded row is visibly
+    # confounded — the committed r3-boundary 150M run (eff 0.397) was
+    # only diagnosable after the fact because the table had no probes
     lines = "\n".join(
-        f"| {label} | {r['value']:,.0f} | {r['pipeline_sec']} |" for label, r in results.items()
+        f"| {label} | {r['value']:,.0f} | {r['pipeline_sec']} | "
+        f"{(r.get('probe') or {}).get('sha256_mhs', '—')} | "
+        f"{((r.get('probe') or {}).get('loadavg_start') or ['—'])[0]} |"
+        for label, r in results.items()
     )
     md = f"""
 ## Measured scaling ({stamp})
@@ -155,8 +168,8 @@ transcripts parquet; fresh JVM per run; ParallelGC; JIT warmed (2
 untimed passes), best of 3 steady-state passes;
 `spark.sql.shuffle.partitions` = 2×cores; all other config identical:
 
-| run | throughput (turns/sec) | pipeline wall (s) |
-|---|---|---|
+| run | throughput (turns/sec) | pipeline wall (s) | run's sha256 probe (M h/s, under its cpuset) | loadavg at start |
+|---|---|---|---|---|
 {lines}
 
 **Scaling efficiency** (R_4N / (4·R_N), target ≥ 0.8):
