@@ -69,6 +69,7 @@ BENCH_QUERIES = [
     # round-4 additions
     "repetition_signals",
     "paragraph_dedup",
+    "dsir_scores",
 ]
 
 CFG = PipelineConfig(logstash_format=True, logstash_prefix="logs")

@@ -301,6 +301,110 @@ def paragraph_dedup(
 
 
 # ---------------------------------------------------------------------------
+# DSIR-style importance resampling (target-domain data selection)
+# ---------------------------------------------------------------------------
+
+def _dsir_md5_hasher(col):
+    """Engine-portable feature hash: first 15 hex digits of
+    md5(ngram + '#dsir') as a 60-bit non-negative bigint — identical
+    in Spark and DuckDB (the _md5_hasher trick, seedless)."""
+    return F.conv(
+        F.substring(F.md5(F.concat(col, F.lit("#dsir"))), 1, 15), 16, 10
+    ).cast("bigint")
+
+
+def dsir_bucket_features(
+    docs: DataFrame,
+    buckets: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    hasher=None,
+) -> DataFrame:
+    """(id, bucket) rows: hashed word unigrams + bigrams (the DSIR
+    feature space — Xie et al. 2023, "Data Selection for Language
+    Modeling via Importance Resampling", public), one row per feature
+    OCCURRENCE (multiset counts, per the paper). Pure map-side:
+    explode + hash + pmod, no shuffle."""
+    hasher = hasher or (lambda c: F.xxhash64(c, F.lit(41)))
+    feats = word_ngrams(docs, 1, id_col, text_col).unionByName(
+        word_ngrams(docs, 2, id_col, text_col)
+    )
+    return feats.select(
+        F.col(id_col), F.pmod(hasher(F.col("ngram")), F.lit(buckets)).alias("bucket")
+    )
+
+
+def dsir_scores(
+    docs: DataFrame,
+    target: DataFrame,
+    buckets: int = 4096,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    hasher=None,
+) -> DataFrame:
+    """Per-document DSIR importance score: how much more likely the
+    document's hashed-n-gram features are under the TARGET domain's
+    bucket distribution than under the raw corpus's. The standard
+    public recipe (Xie et al. 2023) for selecting web data that
+    resembles a target domain before training.
+
+    score(d) = Σ_{features f∈d} log( p̂(b(f)) / q̂(b(f)) ), with
+    Laplace-smoothed (α=0.5) bucket frequencies p̂ (target) and q̂
+    (corpus). Per-bucket log-ratios are quantized to integer
+    MICRO-units (round(1e6·log)) before the per-doc sum, so the final
+    aggregation is an exact BIGINT sum — engine-portable with no
+    float-summation-order hazard; the single ln() per bucket is the
+    only floating-point step on either engine.
+
+    Scale shape (100 TB corpus, small target — the DSIR regime):
+      * corpus features are exploded map-side TWICE (bucket-count pass
+        + scoring pass) rather than persisted — the exploded feature
+        set is larger than the corpus itself, and each pass is
+        shuffle-free until its aggregate;
+      * the bucket-count aggregates output ≤``buckets`` rows; the
+        corpus total rides a partition-less window over that ≤B-row
+        frame (bounded by the constant B, not the data);
+      * the target side is tiny by definition — it pays one extra
+        aggregate for its total rather than complicating the plan;
+      * the per-bucket weight table (≤B rows) is BROADCAST into the
+        scoring join, so the only corpus shuffle is the final
+        groupBy(doc).
+    Docs with no features (empty text) are absent from the output,
+    like minhash_signatures.
+    """
+    feats_c = dsir_bucket_features(docs, buckets, id_col, text_col, hasher)
+    feats_t = dsir_bucket_features(target, buckets, id_col, text_col, hasher)
+    w_all = Window.partitionBy()
+    q = (
+        feats_c.groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("q_n"))
+        .withColumn("_Q", F.sum("q_n").over(w_all))
+    )
+    p = feats_t.groupBy("bucket").agg(F.count(F.lit(1)).alias("p_n"))
+    ptot = feats_t.groupBy().agg(F.count(F.lit(1)).alias("_P"))
+    num = (F.coalesce(F.col("p_n"), F.lit(0)) + F.lit(0.5)) * (
+        F.col("_Q") + F.lit(0.5 * buckets)
+    )
+    den = (F.col("q_n") + F.lit(0.5)) * (F.col("_P") + F.lit(0.5 * buckets))
+    weights = (
+        q.join(p, "bucket", "left")
+        .crossJoin(F.broadcast(ptot))
+        .select(
+            "bucket",
+            F.round(F.lit(1000000.0) * F.log(num / den)).cast("bigint").alias("_w"),
+        )
+    )
+    return (
+        feats_c.join(F.broadcast(weights), "bucket")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_feats"),
+            F.sum("_w").cast("bigint").alias("dsir_score_micro"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # Deterministic sampling for dataset mixing
 # ---------------------------------------------------------------------------
 

@@ -114,6 +114,36 @@ def minhash_signatures(
     )
 
 
+def _banded_buckets(
+    sigs: DataFrame, id_col: str, num_hashes: int, bands: int, bucket_by_values: bool
+) -> DataFrame:
+    """(id, band, bucket) rows from a signature frame — band → bucket
+    WITHOUT carrying the shingle arrays (keeps the exploded exchange
+    narrow: 3 columns, not 8× duplicated arrays). Default bucket =
+    xxhash64 of the band's signature slice (64-bit exchange key);
+    ``bucket_by_values`` joins on the raw slice array instead — the
+    engine-portable variant the DuckDB oracle can reproduce (same
+    candidates modulo astronomically-unlikely xxhash64 slice
+    collisions)."""
+    rows = num_hashes // bands
+
+    def bucket_expr(b: int):
+        slice_cols = [F.col("signature")[b * rows + r] for r in range(rows)]
+        return F.array(*slice_cols) if bucket_by_values else F.xxhash64(*slice_cols)
+
+    return sigs.select(
+        F.col(id_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(b).alias("band"), bucket_expr(b).alias("bucket"))
+                    for b in range(bands)
+                ]
+            )
+        ).alias("lsh"),
+    ).select(id_col, "lsh.band", "lsh.bucket")
+
+
 def minhash_lsh_pairs(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -142,7 +172,6 @@ def minhash_lsh_pairs(
     their other, more selective bands). AQE skew-join backstops what
     remains.
     """
-    rows = num_hashes // bands
     # Materialize signatures ONCE: the signature expression is ~32
     # array transforms over the shingle set — without a persist the
     # band self-join recomputes it on BOTH sides (measured 300×
@@ -150,28 +179,7 @@ def minhash_lsh_pairs(
     # signatures table.
     sigs = minhash_signatures(docs, id_col, text_col, num_hashes, shingle_k, hasher).persist()
 
-    # band → bucket WITHOUT carrying the shingle arrays (keeps the
-    # exploded exchange narrow: 3 columns, not 8× duplicated arrays).
-    # Default bucket = xxhash64 of the band's signature slice (64-bit
-    # exchange key); ``bucket_by_values`` joins on the raw slice array
-    # instead — the engine-portable variant the DuckDB oracle can
-    # reproduce (same candidates modulo astronomically-unlikely
-    # xxhash64 slice collisions).
-    def bucket_expr(b: int):
-        slice_cols = [F.col("signature")[b * rows + r] for r in range(rows)]
-        return F.array(*slice_cols) if bucket_by_values else F.xxhash64(*slice_cols)
-
-    banded = sigs.select(
-        F.col(id_col),
-        F.explode(
-            F.array(
-                *[
-                    F.struct(F.lit(b).alias("band"), bucket_expr(b).alias("bucket"))
-                    for b in range(bands)
-                ]
-            )
-        ).alias("lsh"),
-    ).select(id_col, "lsh.band", "lsh.bucket")
+    banded = _banded_buckets(sigs, id_col, num_hashes, bands, bucket_by_values)
 
     # mega-bucket guard (see docstring): per-(band,bucket) count as a
     # WINDOW over the key the self-join shuffles on anyway — one
@@ -207,6 +215,122 @@ def minhash_lsh_pairs(
         pairs.withColumn("jaccard", F.when(union > 0, inter / union).otherwise(F.lit(0.0)))
         .filter(F.col("jaccard") >= min_jaccard)
         .select("doc_a", "doc_b", F.round("jaccard", 4).alias("jaccard"))
+    )
+
+
+def dedup_incremental(
+    new_docs: DataFrame,
+    existing_docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_k: int = 3,
+    min_jaccard: float = 0.5,
+    max_bucket_size: int = 1000,
+    hasher=None,
+    bucket_by_values: bool = False,
+    broadcast_new: bool = True,
+) -> DataFrame:
+    """Incremental dedup: check a NEW ingest batch against an EXISTING
+    corpus without re-deduplicating the corpus — the continuous-ingest
+    shape at 100 TB (a daily crawl batch vs the accumulated corpus).
+
+    Per new doc, two independent signals:
+      * ``exact_dup`` — its whitespace-normalized md5 fingerprint
+        already exists in the corpus (semi-join on the fingerprint);
+      * ``n_near`` / ``first_match`` — count and smallest id of
+        existing docs sharing an LSH band bucket AND verified at
+        shingle-Jaccard ≥ ``min_jaccard`` (same banded MinHash as
+        minhash_lsh_pairs, but an ASYMMETRIC new×existing join, never
+        a self-join).
+    ``kept`` = neither signal fired. Intra-batch duplicates are the
+    batch's own curate_corpus pass — this operator's contract is
+    strictly new-vs-existing.
+
+    Scale shape: the existing side's signatures + guarded banded
+    buckets are the INCREMENTAL INDEX — at corpus scale they are
+    computed once per corpus version (a persisted table) and reused
+    across ingest batches, so the per-batch cost is one scan of the
+    index against the (broadcast, ``broadcast_new``) new batch: the
+    existing corpus is never shuffled per batch. The mega-bucket
+    guard is the same window count over the banded key as the
+    self-join variant; candidate verification joins shingle sets for
+    the candidate pairs only.
+    """
+    norm = F.md5(F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " "))
+    new_ids = new_docs.select(F.col(id_col))
+    exact = (
+        new_docs.select(F.col(id_col), norm.alias("_fp"))
+        .join(
+            existing_docs.select(norm.alias("_fp")).dropDuplicates(["_fp"]),
+            "_fp",
+            "left_semi",
+        )
+        .select(id_col)
+        .withColumn("_exact", F.lit(1))
+    )
+
+    sigs_n = minhash_signatures(
+        new_docs, id_col, text_col, num_hashes, shingle_k, hasher
+    ).persist()
+    sigs_e = minhash_signatures(
+        existing_docs, id_col, text_col, num_hashes, shingle_k, hasher
+    ).persist()
+    banded_n = _banded_buckets(sigs_n, id_col, num_hashes, bands, bucket_by_values)
+    banded_e = (
+        _banded_buckets(sigs_e, id_col, num_hashes, bands, bucket_by_values)
+        .withColumn(
+            "_bn", F.count(F.lit(1)).over(Window.partitionBy("band", "bucket"))
+        )
+        .filter(F.col("_bn") <= max_bucket_size)
+        .drop("_bn")
+    )
+    if broadcast_new:
+        banded_n = F.broadcast(banded_n)
+    cand = (
+        banded_e.withColumnRenamed(id_col, "_ex_id")
+        .join(banded_n.withColumnRenamed(id_col, "_new_id"), ["band", "bucket"])
+        .select("_new_id", "_ex_id")
+        .dropDuplicates(["_new_id", "_ex_id"])
+    )
+    pairs = cand.join(
+        sigs_n.select(F.col(id_col).alias("_new_id"), F.col("shingles").alias("_sh_n")),
+        "_new_id",
+    ).join(
+        sigs_e.select(F.col(id_col).alias("_ex_id"), F.col("shingles").alias("_sh_e")),
+        "_ex_id",
+    )
+    inter = F.size(F.array_intersect("_sh_n", "_sh_e")).cast("double")
+    union = F.size(F.array_union("_sh_n", "_sh_e")).cast("double")
+    near = (
+        pairs.withColumn(
+            "_j", F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+        )
+        .filter(F.col("_j") >= min_jaccard)
+        .groupBy("_new_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_near"),
+            F.min("_ex_id").alias("first_match"),
+        )
+        .withColumnRenamed("_new_id", id_col)
+    )
+    return (
+        new_ids.join(exact, id_col, "left")
+        .join(near, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("_exact", F.lit(0)).cast("int").alias("exact_dup"),
+            F.coalesce("n_near", F.lit(0).cast("bigint")).alias("n_near"),
+            F.coalesce("first_match", F.lit(-1).cast("bigint")).alias("first_match"),
+            F.when(
+                (F.coalesce("_exact", F.lit(0)) == 0) & F.col("n_near").isNull(),
+                F.lit(1),
+            )
+            .otherwise(F.lit(0))
+            .cast("int")
+            .alias("kept"),
+        )
     )
 
 

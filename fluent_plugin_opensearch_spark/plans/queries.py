@@ -1824,6 +1824,116 @@ SELECT n.doc_id, coalesce(r.text, '') AS text, n.n_pars,
 FROM np n LEFT JOIN reas r USING (doc_id)"""
 
 
+def q_dsir_scores_md5(spark, sf_dir):
+    """DSIR importance scores (r4): every doc scored by hashed-n-gram
+    log-likelihood ratio of the English-subset distribution vs the raw
+    corpus (md5 feature hash — full-chain oracle; integer micro-unit
+    weights so the per-doc sum is BIGINT-exact)."""
+    docs = _docs(spark, sf_dir)
+    return CU.dsir_scores(
+        docs,
+        docs.filter(F.col("lang") == "en"),
+        buckets=4096,
+        hasher=CU._dsir_md5_hasher,
+    )
+
+
+def q_dsir_topk_md5(spark, sf_dir):
+    """Top-100 DSIR selection (deterministic: score desc, doc_id)."""
+    return (
+        q_dsir_scores_md5(spark, sf_dir)
+        .orderBy(F.col("dsir_score_micro").desc(), F.col("doc_id"))
+        .limit(100)
+    )
+
+
+def q_dsir_scores(spark, sf_dir):
+    """Production DSIR path (xxhash64 features) — rows-only check."""
+    docs = _docs(spark, sf_dir)
+    return CU.dsir_scores(docs, docs.filter(F.col("lang") == "en"), buckets=4096)
+
+
+O_DSIR = r"""
+WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents),
+uni AS (SELECT doc_id, unnest(t) AS ng FROM toks),
+bi AS (SELECT doc_id, t[CAST(i AS INT)] || ' ' || t[CAST(i AS INT) + 1] AS ng
+       FROM toks, unnest(range(1, len(t))) AS u(i)),
+feats AS (SELECT doc_id, ('0x' || substr(md5(ng || '#dsir'), 1, 15))::BIGINT % 4096 AS bucket
+          FROM (SELECT * FROM uni UNION ALL SELECT * FROM bi)),
+tfeats AS (SELECT f.bucket FROM feats f JOIN documents d USING (doc_id) WHERE d.lang = 'en'),
+q AS (SELECT bucket, CAST(count(*) AS BIGINT) AS q_n FROM feats GROUP BY bucket),
+p AS (SELECT bucket, CAST(count(*) AS BIGINT) AS p_n FROM tfeats GROUP BY bucket),
+tot AS (SELECT CAST((SELECT count(*) FROM feats) AS BIGINT) AS qq,
+               CAST((SELECT count(*) FROM tfeats) AS BIGINT) AS pp),
+w AS (SELECT q.bucket,
+        CAST(round(1000000.0 * ln(((coalesce(p_n, 0) + 0.5) * (qq + 0.5 * 4096))
+                                 / ((q_n + 0.5) * (pp + 0.5 * 4096)))) AS BIGINT) AS w
+      FROM q LEFT JOIN p USING (bucket), tot)
+SELECT f.doc_id, CAST(count(*) AS BIGINT) AS n_feats, CAST(sum(w.w) AS BIGINT) AS dsir_score_micro
+FROM feats f JOIN w USING (bucket)
+GROUP BY f.doc_id"""
+
+O_DSIR_TOPK = (
+    "SELECT * FROM (" + O_DSIR + ")\nORDER BY dsir_score_micro DESC, doc_id LIMIT 100"
+)
+
+
+def q_dedup_incremental_md5(spark, sf_dir):
+    """Incremental ingest dedup (r4): new batch (doc_id%10>=8) checked
+    against the existing corpus (doc_id%10<8) — exact fingerprint
+    semi-join + asymmetric banded MinHash-LSH with Jaccard verify.
+    md5 hasher + value buckets → full-chain DuckDB oracle."""
+    d = _docs(spark, sf_dir)
+    return DS.dedup_incremental(
+        d.filter(F.col("doc_id") % 10 >= 8),
+        d.filter(F.col("doc_id") % 10 < 8),
+        num_hashes=8,
+        bands=4,
+        min_jaccard=0.2,
+        hasher=DS._md5_hasher,
+        bucket_by_values=True,
+    )
+
+
+def q_dedup_incremental(spark, sf_dir):
+    """Production incremental dedup (xxhash64 buckets) — rows-only."""
+    d = _docs(spark, sf_dir)
+    return DS.dedup_incremental(
+        d.filter(F.col("doc_id") % 10 >= 8),
+        d.filter(F.col("doc_id") % 10 < 8),
+        num_hashes=8,
+        bands=4,
+        min_jaccard=0.2,
+    )
+
+
+O_DEDUP_INCR = "WITH " + _minhash_md5_sql_ctes() + r""",
+nb AS (SELECT doc_id, band, key FROM bands WHERE doc_id % 10 >= 8),
+eb AS (SELECT doc_id, band, key FROM bands WHERE doc_id % 10 < 8),
+icand AS (SELECT DISTINCT n.doc_id AS new_id, e.doc_id AS ex_id
+  FROM eb e JOIN nb n ON e.band = n.band AND e.key = n.key),
+ijac AS (SELECT new_id, ex_id,
+    CAST(len(list_intersect(sn.shingles, se.shingles)) AS DOUBLE)
+      / len(list_distinct(list_concat(sn.shingles, se.shingles))) AS j
+  FROM icand JOIN sh sn ON sn.doc_id = new_id JOIN sh se ON se.doc_id = ex_id),
+inear AS (SELECT new_id, CAST(count(*) AS BIGINT) AS n_near, min(ex_id) AS first_match
+  FROM ijac WHERE j >= 0.2 GROUP BY new_id),
+fpx AS (SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fpv
+        FROM documents),
+iexact AS (SELECT DISTINCT f.doc_id FROM fpx f
+  WHERE f.doc_id % 10 >= 8
+    AND EXISTS (SELECT 1 FROM fpx e WHERE e.doc_id % 10 < 8 AND e.fpv = f.fpv))
+SELECT d.doc_id,
+  CAST(CASE WHEN x.doc_id IS NULL THEN 0 ELSE 1 END AS INT) AS exact_dup,
+  coalesce(n.n_near, 0) AS n_near,
+  coalesce(n.first_match, -1) AS first_match,
+  CAST(CASE WHEN x.doc_id IS NULL AND n.new_id IS NULL THEN 1 ELSE 0 END AS INT) AS kept
+FROM documents d
+LEFT JOIN iexact x ON x.doc_id = d.doc_id
+LEFT JOIN inear n ON n.new_id = d.doc_id
+WHERE d.doc_id % 10 >= 8"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -1902,12 +2012,17 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # 50-row window is already full of non-redundant operators)
     "repetition_signals": q_repetition_signals,
     "paragraph_dedup": q_paragraph_dedup,
+    "dsir_scores_md5": q_dsir_scores_md5,
+    "dsir_topk_md5": q_dsir_topk_md5,
+    "dedup_incremental_md5": q_dedup_incremental_md5,
     # rows-only checks (engine-specific hashing / pandas-UDF stages)
     "simhash_neardup": q_simhash_neardup,
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
     "simhash64": q_simhash,
     "ivf_topk": q_ivf_topk,
     "approx_sink_profile": q_approx_sink_profile,
+    "dsir_scores": q_dsir_scores,
+    "dedup_incremental": q_dedup_incremental,
 }
 
 ORACLES: dict[str, str] = {
@@ -1973,4 +2088,7 @@ ORACLES: dict[str, str] = {
     "curated_corpus_clean": _o_curated_clean(),
     "repetition_signals": O_REPETITION,
     "paragraph_dedup": O_PARAGRAPH_DEDUP,
+    "dsir_scores_md5": O_DSIR,
+    "dsir_topk_md5": O_DSIR_TOPK,
+    "dedup_incremental_md5": O_DEDUP_INCR,
 }

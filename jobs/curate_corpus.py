@@ -1,7 +1,8 @@
 """Training-data corpus curation job: [PII redaction →] [paragraph
 dedup →] quality gate → exact dedup → MinHash near-dup dedup (keep one
-doc per cluster) [→ benchmark decontamination], writing the curated
-corpus + a stats line. The batch-mode composition of the dataset/curation operators
+doc per cluster) [→ benchmark decontamination] [→ DSIR target-domain
+top-k selection], writing the curated corpus + a stats line. The
+batch-mode composition of the dataset/curation operators
 (operators/dataset.py:curate_corpus, operators/curation.py).
 
     spark-submit --py-files dist/fposs.zip jobs/curate_corpus.py \\
@@ -40,12 +41,19 @@ def main(argv: list[str]) -> None:
     p.add_argument("--bench", default=None,
                    help="benchmark parquet (bench_id, text) for decontamination")
     p.add_argument("--contamination-n", type=int, default=8)
+    p.add_argument("--dsir-target", default=None,
+                   help="target-domain parquet (doc_id, text); after curation, "
+                        "keep only the --dsir-keep docs with the highest DSIR "
+                        "importance score vs this target distribution")
+    p.add_argument("--dsir-keep", type=int, default=100_000)
+    p.add_argument("--dsir-buckets", type=int, default=4096)
     args = p.parse_args(argv)
 
     from pyspark.sql import SparkSession
     from pyspark.sql import functions as F
 
     from fluent_plugin_opensearch_spark.operators.curation import (
+        dsir_scores,
         paragraph_dedup,
         redact_text,
     )
@@ -105,6 +113,19 @@ def main(argv: list[str]) -> None:
         contamination_n=args.contamination_n,
     )
     curated = docs.join(kept_ids, "doc_id", "left_semi")
+    if args.dsir_target:
+        # target-domain selection LAST (on the deduped, decontaminated
+        # survivors): score desc, doc_id tiebreak — deterministic.
+        # orderBy+limit is a distributed TakeOrdered (per-partition
+        # top-k then a k-row merge), not a global sort.
+        target = spark.read.parquet(args.dsir_target)
+        scores = dsir_scores(curated, target, buckets=args.dsir_buckets)
+        keep = (
+            scores.orderBy(F.col("dsir_score_micro").desc(), F.col("doc_id"))
+            .limit(args.dsir_keep)
+            .select("doc_id")
+        )
+        curated = curated.join(keep, "doc_id", "left_semi")
     curated.write.mode("overwrite").parquet(args.output)
     n_out = spark.read.parquet(args.output).count()
     print(json.dumps({"input_docs": n_in, "kept_docs": n_out, "dropped": n_in - n_out}))

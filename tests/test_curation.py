@@ -400,3 +400,94 @@ def test_paragraph_dedup_random_parity(spark):
         assert r["n_pars_kept"] == len(kept)
     total_kept = sum(r["n_pars_kept"] for r in out.values())
     assert total_kept == len(seen)
+
+
+# ---------------------------------------------------------------------------
+# DSIR importance resampling (r4)
+# ---------------------------------------------------------------------------
+
+def _dsir_expected(rows, target_ids, buckets):
+    """Independent Python computation of dsir_scores with the md5
+    hasher — multiset unigram+bigram features, Laplace α=0.5,
+    micro-int quantized per-bucket weights (round half away from
+    zero, matching Spark/DuckDB round())."""
+    import hashlib
+    import math
+
+    def bucket(ng):
+        return int(hashlib.md5((ng + "#dsir").encode()).hexdigest()[:15], 16) % buckets
+
+    def feats(text):
+        t = text.strip().split()
+        return [bucket(w) for w in t] + [
+            bucket(f"{t[i]} {t[i+1]}") for i in range(len(t) - 1)
+        ]
+
+    q: dict[int, int] = {}
+    p: dict[int, int] = {}
+    doc_feats = {}
+    for i, text in rows:
+        fs = feats(text)
+        doc_feats[i] = fs
+        for b in fs:
+            q[b] = q.get(b, 0) + 1
+            if i in target_ids:
+                p[b] = p.get(b, 0) + 1
+    Q, P = sum(q.values()), sum(p.values())
+
+    def away(x):
+        return int(math.copysign(math.floor(abs(x) + 0.5), x))
+
+    w = {
+        b: away(
+            1e6
+            * math.log(
+                ((p.get(b, 0) + 0.5) * (Q + 0.5 * buckets))
+                / ((qn + 0.5) * (P + 0.5 * buckets))
+            )
+        )
+        for b, qn in q.items()
+    }
+    return {
+        i: (len(fs), sum(w[b] for b in fs)) for i, fs in doc_feats.items() if fs
+    }
+
+
+def test_dsir_scores_target_affinity(spark):
+    """Docs made of target-domain words must outscore docs made of
+    off-domain words; mixed docs land between."""
+    rows = [
+        (0, "alpha beta alpha beta gamma"),   # target
+        (1, "alpha gamma beta alpha beta"),   # target
+        (2, "alpha beta gamma alpha"),        # on-domain, not in target set
+        (3, "zeta eta theta iota kappa"),     # off-domain
+        (4, "alpha beta zeta eta"),           # mixed
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    target = docs.filter(F.col("doc_id") < 2)
+    out = {
+        r["doc_id"]: r["dsir_score_micro"]
+        for r in CU.dsir_scores(docs, target, buckets=512, hasher=CU._dsir_md5_hasher).collect()
+    }
+    assert out[2] > out[4] > out[3]
+    assert out[0] > out[3] and out[1] > out[3]
+
+
+def test_dsir_scores_random_parity(spark):
+    """Random corpora vs the independent Python computation —
+    integer-exact (the whole point of micro-unit quantization)."""
+    rng = random.Random(23)
+    vocab_t = [f"t{i}" for i in range(15)]
+    vocab_o = [f"o{i}" for i in range(15)]
+    rows = []
+    for i in range(60):
+        vocab = vocab_t if i % 3 == 0 else (vocab_o if i % 3 == 1 else vocab_t + vocab_o)
+        rows.append((i, " ".join(rng.choices(vocab, k=rng.randint(1, 12)))))
+    target_ids = {i for i in range(60) if i % 5 == 0}
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    target = docs.filter(F.col("doc_id") % 5 == 0)
+    got = {
+        r["doc_id"]: (r["n_feats"], r["dsir_score_micro"])
+        for r in CU.dsir_scores(docs, target, buckets=64, hasher=CU._dsir_md5_hasher).collect()
+    }
+    assert got == _dsir_expected(rows, target_ids, 64)

@@ -491,3 +491,43 @@ def test_curate_corpus_semantic_planted(spark):
         for r in DS.curate_corpus_semantic(docs, emb, min_jaccard=0.5).collect()
     }
     assert kept == {1, 3}
+
+
+# ---------------------------------------------------------------------------
+# Incremental dedup (new batch vs existing corpus, r4)
+# ---------------------------------------------------------------------------
+
+def test_dedup_incremental_planted(spark):
+    """Exact dup (incl. normalization), deterministic near-dup (all 4
+    md5 band slices collide — verified by independent Python minhash
+    simulation, jaccard 0.8947), and a novel doc that survives."""
+    base = ("alpha bravo charlie delta echo foxtrot golf hotel india "
+            "juliet kilo lima mike november oscar papa quebec romeo sierra tango")
+    near = base.rsplit(" ", 1)[0] + " zulu"
+    existing = spark.createDataFrame(
+        [(0, base), (1, "completely different content about spark physical plans here")],
+        ["doc_id", "text"],
+    )
+    new = spark.createDataFrame(
+        [
+            (10, base),                       # exact (and near) dup of 0
+            (11, "ALPHA  bravo " + base.split(" ", 2)[2]),  # exact after lower+ws normalization
+            (12, near),                       # near dup of 0, not exact
+            (13, "utterly novel sentence with entirely unique vocabulary tokens"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        r["doc_id"]: r
+        for r in DS.dedup_incremental(
+            new, existing, num_hashes=8, bands=4, min_jaccard=0.2,
+            hasher=DS._md5_hasher, bucket_by_values=True,
+        ).collect()
+    }
+    assert out[10]["exact_dup"] == 1 and out[10]["kept"] == 0
+    assert out[10]["n_near"] >= 1 and out[10]["first_match"] == 0
+    assert out[11]["exact_dup"] == 1 and out[11]["kept"] == 0
+    assert out[12]["exact_dup"] == 0 and out[12]["n_near"] == 1
+    assert out[12]["first_match"] == 0 and out[12]["kept"] == 0
+    assert out[13]["exact_dup"] == 0 and out[13]["n_near"] == 0
+    assert out[13]["first_match"] == -1 and out[13]["kept"] == 1

@@ -209,3 +209,38 @@ def test_repetition_signals_no_python_no_window(spark):
     assert "Window" not in plan
     assert "BatchEvalPython" not in plan
     assert "partial_count" in plan or "partial_sum" in plan
+
+
+def test_dsir_weights_join_is_broadcast_no_python(spark):
+    """r4 DSIR: the per-bucket weight table (<=B rows) must broadcast
+    into the scoring join (the only corpus shuffle is the final
+    groupBy(doc)); no Python anywhere; the doc-score aggregate
+    partial-aggregates map-side. The one Window is the corpus-total
+    sum over the <=B-row bucket-count frame — bounded by the constant
+    B, not the data."""
+    from fluent_plugin_opensearch_spark.operators import curation as CU
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    plan = _plan(CU.dsir_scores(docs, docs.filter("lang = 'en'"), buckets=512))
+    assert "BatchEvalPython" not in plan
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "partial_count" in plan or "partial_sum" in plan
+    assert plan.count("Window") <= 2  # bucket-total window only (+plan reuse)
+
+
+def test_dedup_incremental_broadcasts_new_batch(spark):
+    """r4 incremental dedup: the NEW batch's banded keys broadcast
+    into the candidate join, so the existing corpus (the incremental
+    index at scale) is never shuffled for candidate generation; no
+    Python anywhere."""
+    from fluent_plugin_opensearch_spark.operators import dataset as DS
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    plan = _plan(
+        DS.dedup_incremental(
+            docs.filter("doc_id % 10 >= 8"), docs.filter("doc_id % 10 < 8"),
+            num_hashes=8, bands=4,
+        )
+    )
+    assert "BatchEvalPython" not in plan
+    assert "BroadcastHashJoin" in plan
