@@ -1,8 +1,11 @@
 """Corpus-curation operators a large-scale training-data pipeline
 needs beyond the near-dup chain (task brief "training-data
 extensions"): PII redaction, benchmark-contamination detection,
-deterministic stratified / quota sampling for dataset mixing, and
-sequence packing (concat-then-chunk context-window layout).
+deterministic stratified / quota sampling for dataset mixing,
+sequence packing (concat-then-chunk context-window layout), DSIR
+importance resampling, token-budget mixture sampling, and the
+deterministic epoch-shuffle / shard-assignment final stage
+(jobs/build_training_set.py composes the last three).
 
 Scale notes baked into each operator:
   * redact_pii — pure codegen projection (regexp chain), no shuffle.
@@ -592,4 +595,125 @@ def pack_sequences(
         F.expr(f"start_off div {budget}").alias("first_pack"),
         F.expr(f"({last}) div {budget}").alias("last_pack"),
         F.expr(f"(({last}) div {budget}) - (start_off div {budget}) + 1").alias("n_packs"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Training-set assembly: token-budget mixture + deterministic shard order
+# ---------------------------------------------------------------------------
+
+#: the bpe-ish token regex shared with dataset.token_count_bpe_ish and
+#: pack_sequences — letter runs, digit runs, single punctuation marks.
+_BPE_ISH = r"[A-Za-z]+|\d+|[^\sA-Za-z\d]"
+
+
+def _n_tokens(text_col: str):
+    return F.size(
+        F.regexp_extract_all(F.col(text_col), F.lit(_BPE_ISH), F.lit(0))
+    ).cast("bigint")
+
+
+def mixture_plan(
+    docs: DataFrame,
+    weights_permille: dict[str, int],
+    budget_tokens: int,
+    stratum_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Turn a target token mixture ("web 600‰ / code 250‰ / academic
+    150‰ of a B-token budget") into per-stratum keep rates: one row per
+    stratum with its corpus token total and
+    ``rate_permille = min(1000, (budget · weight) div tok_total)`` —
+    exactly the fraction of the stratum's tokens the budget asks for
+    (capped: an under-represented stratum is taken whole; upsampling is
+    an epoch-level decision, not a sampling one).
+
+    All arithmetic is bigint (weights stay permille, the single
+    division is SQL ``div``), so the plan replays bit-identically in
+    DuckDB. The output is one row per stratum — a broadcast-sized
+    frame regardless of corpus size; the only corpus-wide work is one
+    partial-aggregated groupBy(stratum) over a two-column projection.
+    """
+    w = F.lit(0).cast("bigint")
+    for k, v in sorted(weights_permille.items()):
+        w = F.when(F.col(stratum_col) == k, F.lit(v).cast("bigint")).otherwise(w)
+    return (
+        docs.select(F.col(stratum_col), _n_tokens(text_col).alias("_nt"))
+        .groupBy(stratum_col)
+        .agg(F.sum("_nt").cast("bigint").alias("tok_total"))
+        .withColumn("_w", w)
+        .select(
+            stratum_col,
+            "tok_total",
+            F.expr(
+                "CASE WHEN tok_total = 0 THEN CAST(0 AS BIGINT) "
+                f"ELSE least(CAST(1000 AS BIGINT), ({budget_tokens} * _w) div tok_total) END"
+            ).alias("rate_permille"),
+        )
+    )
+
+
+def mixture_sample(
+    docs: DataFrame,
+    weights_permille: dict[str, int],
+    budget_tokens: int,
+    stratum_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    salt: str = "mix#0",
+) -> DataFrame:
+    """Apply a token-budget mixture plan: broadcast the one-row-per-
+    stratum rate table into an equi-join, then keep a doc iff its md5
+    id bucket (0..999) falls below its stratum's rate — the
+    stratified_sample filter with rates DERIVED from a token budget
+    instead of given. At 100 TB this is one aggregation scan (the
+    plan) + one broadcast-join-filter scan: the corpus is never
+    shuffled, and the kept set is stable under re-runs, repartitioning,
+    and engine swaps (no RNG). Expected kept tokens per stratum ≈
+    budget · weight ± hash-sampling noise (docs are kept whole — the
+    unit of selection is the document, as in mixture training sets).
+    """
+    plan = mixture_plan(docs, weights_permille, budget_tokens, stratum_col, text_col)
+    return (
+        docs.join(
+            F.broadcast(plan.select(stratum_col, "rate_permille")),
+            on=stratum_col,
+            how="inner",
+        )
+        .withColumn("_bucket", _id_bucket(id_col, 1000, salt))
+        .filter(F.col("_bucket") < F.col("rate_permille"))
+        .drop("_bucket", "rate_permille")
+    )
+
+
+def training_shards(
+    docs: DataFrame,
+    n_shards: int,
+    epoch: int = 0,
+    id_col: str = "doc_id",
+    salt: str = "ord#",
+) -> DataFrame:
+    """Deterministic global training-order shuffle + shard assignment
+    (the last stage of a training-set build): shuffle key =
+    60-bit md5(salt‖epoch‖'#'‖id), ``shard = key % n_shards``,
+    ``pos`` = rank of the key within its shard (id tie-break). A new
+    epoch is a new salt — a full reshuffle with zero coordinated RNG
+    state, reproducible on any engine/cluster shape.
+
+    Scale: one exchange keyed on shard; the within-shard rank is a
+    sort of n/n_shards rows per task. n_shards is chosen from the
+    target shard FILE size (~256 MB → 10⁵–10⁶ shards at 100 TB), so
+    each sort task sees at most a few hundred MB — the same bound as
+    any sort-based shuffle, with AQE free to coalesce small shards.
+    Because the key is a uniform hash, shards are balanced by
+    construction (no skewed-key hotspot regardless of doc-id layout).
+    """
+    h = F.md5(F.concat(F.lit(f"{salt}{epoch}#"), F.col(id_col).cast("string")))
+    hkey = F.conv(F.substring(h, 1, 15), 16, 10).cast("bigint")
+    w = Window.partitionBy("shard").orderBy("_hkey", id_col)
+    return (
+        docs.select(F.col(id_col), hkey.alias("_hkey"))
+        .withColumn("shard", (F.col("_hkey") % n_shards).cast("int"))
+        .withColumn("pos", (F.row_number().over(w) - 1).cast("bigint"))
+        .drop("_hkey")
     )

@@ -1729,6 +1729,73 @@ SELECT source, doc_id, n_tokens, start_off,
 FROM c"""
 
 
+#: token-budget mixture for the mixture_sample query: src4's weight
+#: deliberately overshoots its stratum (cap → kept whole), the 15
+#: unlisted sources get weight 0 (dropped) — all three rate regimes.
+_MIX_WEIGHTS = {"src0": 600, "src1": 250, "src2": 100, "src3": 50, "src4": 2000}
+_MIX_BUDGET = 1000
+_MIX_W_SQL = "CASE source " + " ".join(
+    f"WHEN '{k}' THEN CAST({v} AS BIGINT)" for k, v in sorted(_MIX_WEIGHTS.items())
+) + " ELSE CAST(0 AS BIGINT) END"
+
+
+def q_mixture_sample(spark, sf_dir):
+    """Token-budget mixture sampling profile: per-source corpus tokens,
+    the derived keep rate, and the kept-set size/token/id checksums."""
+    docs = _docs(spark, sf_dir)
+    plan = CU.mixture_plan(docs, _MIX_WEIGHTS, _MIX_BUDGET)
+    kept = CU.mixture_sample(docs, _MIX_WEIGHTS, _MIX_BUDGET)
+    prof = kept.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_kept"),
+        F.sum(CU._n_tokens("text")).cast("bigint").alias("kept_tokens"),
+        F.sum("doc_id").cast("bigint").alias("id_sum"),
+    )
+    return plan.join(prof, "source", "left").select(
+        "source",
+        "tok_total",
+        F.col("rate_permille").cast("bigint").alias("rate_permille"),
+        F.coalesce("n_kept", F.lit(0)).cast("bigint").alias("n_kept"),
+        F.coalesce("kept_tokens", F.lit(0)).cast("bigint").alias("kept_tokens"),
+        F.coalesce("id_sum", F.lit(0)).cast("bigint").alias("id_sum"),
+    )
+
+
+O_MIXTURE = f"""
+WITH tc AS (SELECT source, doc_id,
+        CAST(len(regexp_extract_all(text, '[A-Za-z]+|\\d+|[^\\sA-Za-z\\d]')) AS BIGINT) AS nt
+      FROM documents),
+tot AS (SELECT source, CAST(sum(nt) AS BIGINT) AS tok_total FROM tc GROUP BY source),
+plan AS (SELECT source, tok_total,
+        CASE WHEN tok_total = 0 THEN CAST(0 AS BIGINT)
+             ELSE least(CAST(1000 AS BIGINT), (CAST({_MIX_BUDGET} AS BIGINT) * ({_MIX_W_SQL})) // tok_total)
+        END AS rate_permille
+      FROM tot),
+kept AS (SELECT t.source, t.doc_id, t.nt FROM tc t JOIN plan p USING (source)
+      WHERE ('0x' || substr(md5(concat('mix#0', CAST(t.doc_id AS STRING))), 1, 15))::BIGINT % 1000 < p.rate_permille)
+SELECT p.source, p.tok_total, CAST(p.rate_permille AS BIGINT) AS rate_permille,
+  CAST(coalesce(k.n, 0) AS BIGINT) AS n_kept,
+  CAST(coalesce(k.kt, 0) AS BIGINT) AS kept_tokens,
+  CAST(coalesce(k.ids, 0) AS BIGINT) AS id_sum
+FROM plan p LEFT JOIN (
+  SELECT source, count(*) AS n, sum(nt) AS kt, sum(doc_id) AS ids FROM kept GROUP BY source
+) k USING (source)"""
+
+
+def q_training_shards(spark, sf_dir):
+    """Deterministic epoch-1 training order: shard + within-shard
+    position for every doc (8 shards)."""
+    return CU.training_shards(_docs(spark, sf_dir), n_shards=8, epoch=1)
+
+
+O_TRAINING_SHARDS = r"""
+WITH h AS (SELECT doc_id,
+        ('0x' || substr(md5(concat('ord#1#', CAST(doc_id AS STRING))), 1, 15))::BIGINT AS hkey
+      FROM documents)
+SELECT doc_id, CAST(hkey % 8 AS INT) AS shard,
+  CAST(row_number() OVER (PARTITION BY hkey % 8 ORDER BY hkey, doc_id) - 1 AS BIGINT) AS pos
+FROM h"""
+
+
 def q_hourly_heavy_hitters(spark, sf_dir):
     """Hour-grain heavy hitters (the streaming window's batch twin)."""
     from ..operators.sessions import top_k_per_hour
@@ -1999,8 +2066,13 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dsir_scores_md5": q_dsir_scores_md5,
     "dsir_topk_md5": q_dsir_topk_md5,
     "dedup_incremental_md5": q_dedup_incremental_md5,
-    # --- tail (positions 50+): oracle-checked but redundant, recorded
-    # green in CORRECTNESS_r03 (retained sibling noted per line) ---
+    # --- tail (positions 50+): first the r4 training-set assembly pair
+    # (oracle-checked at the local gate; the 50-row window is full of
+    # non-redundant operator families), then oracle-checked-but-
+    # redundant queries recorded green in CORRECTNESS_r03 (retained
+    # sibling noted per line) ---
+    "mixture_sample": q_mixture_sample,
+    "training_shards": q_training_shards,
     "timestamp_iso": q_timestamp_iso,  # timestamp_precedence subsumes
     "genid_md5": _genid_q("md5"),  # genid_sha256 covers the seed surface
     "enrich_tool_miss": q_enrich_tool_miss,  # enrich_role_counts covers J3
@@ -2083,6 +2155,8 @@ ORACLES: dict[str, str] = {
     "pii_redaction": O_PII_REDACTION,
     "contamination": O_CONTAMINATION,
     "stratified_sample": O_STRATIFIED,
+    "mixture_sample": O_MIXTURE,
+    "training_shards": O_TRAINING_SHARDS,
     "quota_sample": O_QUOTA,
     "sequence_packing": O_PACKING,
     "sequence_packing_by_source": O_PACKING_BY_SOURCE,

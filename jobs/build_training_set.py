@@ -1,0 +1,117 @@
+"""Training-set assembly job — the stage AFTER curation: turn a
+curated corpus into epoch-ready training shards.
+
+    token-budget mixture sampling → deterministic epoch shuffle +
+    shard assignment → shard-partitioned parquet (rows in training
+    order) [+ optional sequence-packing span sidecar]
+
+    spark-submit --py-files dist/fposs.zip jobs/build_training_set.py \\
+        --input <curated documents parquet> --output <dir> \\
+        [--weights '{"web": 600, "code": 250}' --budget-tokens 2000000] \\
+        [--n-shards 64] [--epoch 0] [--pack-budget 4096]
+
+Layout written under --output:
+    shards/shard=K/...parquet   rows (pos, doc_id, text, n_tokens)
+                                sorted by pos within each file
+    packs/...parquet            (doc_id, start_off, first_pack,
+                                last_pack, n_packs) at --pack-budget
+                                tokens per context window (optional)
+
+Scale shape (100 TB): the mixture is one aggregation scan + one
+broadcast-join filter (corpus never shuffled); the shard assignment is
+ONE hash exchange keyed on shard with the within-shard rank riding the
+same partitioning; the write sorts n/n_shards rows per task — size
+--n-shards for ~256 MB shard files and every stage stays bounded.
+Everything is md5-keyed: re-running any step on any cluster shape
+reproduces byte-identical shard membership and order.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def main(argv: list[str]) -> None:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--input", required=True)
+    p.add_argument("--output", required=True)
+    p.add_argument("--weights", default=None,
+                   help="JSON {source: permille-of-budget}; with "
+                        "--budget-tokens enables mixture sampling")
+    p.add_argument("--budget-tokens", type=int, default=None)
+    p.add_argument("--stratum-col", default="source")
+    p.add_argument("--n-shards", type=int, default=64)
+    p.add_argument("--epoch", type=int, default=0)
+    p.add_argument("--pack-budget", type=int, default=None,
+                   help="also write the concat-then-chunk span sidecar "
+                        "at this many tokens per context window")
+    args = p.parse_args(argv)
+    if (args.weights is None) != (args.budget_tokens is None):
+        p.error("--weights and --budget-tokens must be given together")
+
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+
+    from fluent_plugin_opensearch_spark.operators.curation import (
+        _n_tokens,
+        mixture_plan,
+        mixture_sample,
+        pack_sequences,
+        training_shards,
+    )
+
+    spark = SparkSession.builder.appName("build-training-set").getOrCreate()
+    docs = spark.read.parquet(args.input)
+    n_in = docs.count()
+
+    plan_rows = None
+    if args.weights:
+        weights = {k: int(v) for k, v in json.loads(args.weights).items()}
+        plan_rows = [
+            r.asDict()
+            for r in mixture_plan(
+                docs, weights, args.budget_tokens, stratum_col=args.stratum_col
+            ).collect()
+        ]  # one row per stratum — broadcast-sized by construction
+        docs = mixture_sample(
+            docs, weights, args.budget_tokens, stratum_col=args.stratum_col
+        )
+
+    order = training_shards(docs, args.n_shards, epoch=args.epoch)
+    sharded = (
+        docs.select("doc_id", "text", _n_tokens("text").alias("n_tokens"))
+        .join(order, "doc_id", "inner")
+        .repartition("shard")
+        .sortWithinPartitions("shard", "pos")
+    )
+    sharded.write.mode("overwrite").partitionBy("shard").parquet(
+        f"{args.output}/shards"
+    )
+
+    if args.pack_budget:
+        pack_sequences(docs, budget=args.pack_budget).write.mode(
+            "overwrite"
+        ).parquet(f"{args.output}/packs")
+
+    out = spark.read.parquet(f"{args.output}/shards")
+    prof = out.groupBy("shard").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("n_tokens").alias("tok")
+    )
+    sizes = [r["n"] for r in prof.collect()]
+    stats = {
+        "input_docs": n_in,
+        "kept_docs": int(sum(sizes)),
+        "n_shards_written": len(sizes),
+        "shard_docs_min": int(min(sizes)) if sizes else 0,
+        "shard_docs_max": int(max(sizes)) if sizes else 0,
+        "epoch": args.epoch,
+    }
+    if plan_rows is not None:
+        stats["mixture_plan"] = plan_rows
+    print(json.dumps(stats))
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:])

@@ -491,3 +491,130 @@ def test_dsir_scores_random_parity(spark):
         for r in CU.dsir_scores(docs, target, buckets=64, hasher=CU._dsir_md5_hasher).collect()
     }
     assert got == _dsir_expected(rows, target_ids, 64)
+
+
+# ---------------------------------------------------------------------------
+# Training-set assembly (r4): token-budget mixture + shard order
+# ---------------------------------------------------------------------------
+
+def _h60(salt: str, key) -> int:
+    import hashlib
+
+    return int(hashlib.md5((salt + str(key)).encode()).hexdigest()[:15], 16)
+
+
+def _py_tokens(text: str) -> int:
+    import re
+
+    return len(re.findall(r"[A-Za-z]+|\d+|[^\sA-Za-z\d]", text))
+
+
+def test_mixture_plan_rates(spark):
+    """Rates follow the integer formula exactly; an overshooting weight
+    caps at 1000 (stratum kept whole); unlisted strata get rate 0."""
+    rows = [(i, "tok " * 10, f"s{i % 3}") for i in range(30)]
+    docs = spark.createDataFrame(rows, ["doc_id", "text", "source"])
+    plan = {
+        r["source"]: r
+        for r in CU.mixture_plan(docs, {"s0": 500, "s1": 5000}, budget_tokens=100).collect()
+    }
+    assert plan["s0"]["tok_total"] == 100  # 10 docs x 10 word tokens
+    assert plan["s0"]["rate_permille"] == (100 * 500) // 100
+    assert plan["s1"]["rate_permille"] == 1000  # capped: desired > available
+    assert plan["s2"]["rate_permille"] == 0  # weight 0 -> dropped
+
+
+def test_mixture_sample_python_parity(spark):
+    """Kept set matches an independent Python md5 simulation of the
+    full chain (token totals -> integer rates -> bucket filter), and is
+    stable under repartitioning (no RNG, no partition dependence)."""
+    rng = random.Random(23)
+    rows = [
+        (
+            i,
+            " ".join("w%d" % rng.randint(0, 50) for _ in range(rng.randint(3, 30))),
+            f"s{i % 4}",
+        )
+        for i in range(80)
+    ]
+    w = {"s0": 400, "s1": 900, "s2": 2500}
+    budget = 300
+    docs = spark.createDataFrame(rows, ["doc_id", "text", "source"])
+    kept = sorted(r["doc_id"] for r in CU.mixture_sample(docs, w, budget).collect())
+    tot: dict[str, int] = {}
+    for _, text, s in rows:
+        tot[s] = tot.get(s, 0) + _py_tokens(text)
+    rates = {
+        s: 0 if tot[s] == 0 else min(1000, (budget * w.get(s, 0)) // tot[s]) for s in tot
+    }
+    exp = sorted(i for i, _, s in rows if _h60("mix#0", i) % 1000 < rates[s])
+    assert kept == exp
+    re_kept = sorted(
+        r["doc_id"] for r in CU.mixture_sample(docs.repartition(7), w, budget).collect()
+    )
+    assert re_kept == kept
+
+
+def test_training_shards_python_parity(spark):
+    """(shard, pos) for every doc matches an independent Python md5
+    simulation; a new epoch yields a different permutation."""
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    out = {
+        r["doc_id"]: (r["shard"], r["pos"])
+        for r in CU.training_shards(docs, n_shards=4, epoch=2).collect()
+    }
+    ids = [r["doc_id"] for r in docs.select("doc_id").collect()]
+    hk = {i: _h60("ord#2#", i) for i in ids}
+    by_shard: dict[int, list[int]] = {}
+    for i in ids:
+        by_shard.setdefault(hk[i] % 4, []).append(i)
+    for s, members in by_shard.items():
+        members.sort(key=lambda i: (hk[i], i))
+        for pos, i in enumerate(members):
+            assert out[i] == (s, pos)
+    assert len(out) == len(ids)
+    out3 = {
+        r["doc_id"]: (r["shard"], r["pos"])
+        for r in CU.training_shards(docs, n_shards=4, epoch=3).collect()
+    }
+    assert out3 != out
+
+
+def test_build_training_set_job(spark, tmp_path, capsys):
+    """End-to-end assembly job: mixture -> shard shuffle -> partitioned
+    write (+ pack sidecar). Shard membership and within-shard order
+    must replay the operators exactly; positions are dense per shard."""
+    import json
+
+    from jobs.build_training_set import main as job_main
+
+    out = str(tmp_path / "ts")
+    weights = {"src0": 2000, "src1": 2000, "src2": 2000}
+    budget = 2000
+    job_main([
+        "--input", f"{SF_SMOKE}/documents.parquet", "--output", out,
+        "--weights", json.dumps(weights), "--budget-tokens", str(budget),
+        "--n-shards", "4", "--epoch", "1", "--pack-budget", "256",
+    ])
+    stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert stats["kept_docs"] > 0
+    assert stats["n_shards_written"] <= 4
+    assert {r["source"] for r in stats["mixture_plan"]} == {
+        f"src{i}" for i in range(20)
+    }
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    kept = CU.mixture_sample(docs, weights, budget)
+    order = {
+        r["doc_id"]: (r["shard"], r["pos"])
+        for r in CU.training_shards(kept, 4, epoch=1).collect()
+    }
+    back = spark.read.parquet(f"{out}/shards")
+    got = {r["doc_id"]: (r["shard"], r["pos"]) for r in back.collect()}
+    assert got == order
+    by_shard: dict[int, list[int]] = {}
+    for _, (s, pos) in got.items():
+        by_shard.setdefault(s, []).append(pos)
+    for poss in by_shard.values():
+        assert sorted(poss) == list(range(len(poss)))  # dense order
+    assert spark.read.parquet(f"{out}/packs").count() == len(got)

@@ -244,3 +244,39 @@ def test_dedup_incremental_broadcasts_new_batch(spark):
     )
     assert "BatchEvalPython" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_mixture_sample_broadcast_rate_join_no_shuffle(spark):
+    """r4 mixture sampling: the per-stratum rate table broadcasts into
+    the filter join, so the corpus side is never exchanged — the kept
+    set comes from one scan + filter. (The plan side aggregates the
+    token totals with a map-side partial.)"""
+    import re
+
+    from fluent_plugin_opensearch_spark.operators import curation as CU
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    plan = _plan(CU.mixture_sample(docs, {"src0": 500, "src1": 300}, budget_tokens=1000))
+    assert "BatchEvalPython" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "partial_sum" in plan
+    # the only Exchanges feed the one-row-per-stratum plan aggregate /
+    # broadcast — never re-keying the corpus probe side
+    assert "SortMergeJoin" not in plan
+
+
+def test_training_shards_single_exchange(spark):
+    """r4 shard order: exactly one data exchange (hash on shard) —
+    the within-shard rank rides that same partitioning; no Python."""
+    import re
+
+    from fluent_plugin_opensearch_spark.operators import curation as CU
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    plan = _plan(CU.training_shards(docs, n_shards=16))
+    assert "BatchEvalPython" not in plan
+    # formatted explain numbers each node: shuffle exchanges print as
+    # "(n) Exchange", broadcasts as "(n) BroadcastExchange"
+    shuffles = re.findall(r"\(\d+\) Exchange\b", plan)
+    assert len(shuffles) == 1, plan
+    assert "hashpartitioning(shard" in plan
