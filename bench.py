@@ -70,6 +70,8 @@ BENCH_QUERIES = [
     "repetition_signals",
     "paragraph_dedup",
     "dsir_scores",
+    "mixture_sample",
+    "training_shards",
 ]
 
 CFG = PipelineConfig(logstash_format=True, logstash_prefix="logs")

@@ -598,6 +598,52 @@ def pack_sequences(
     )
 
 
+def pack_manifest(
+    packed: DataFrame,
+    budget: int,
+    id_col: str = "doc_id",
+    stratum_col: str | None = None,
+) -> DataFrame:
+    """Explode ``pack_sequences`` spans into the per-(pack, doc) slice
+    manifest a dataloader consumes: for every context window
+    (``pack_id``) the doc slices that fill it —
+    ``slice_start``/``slice_len`` are token offsets WITHIN the doc
+    (``array_slice(tokens, slice_start, slice_len)`` reconstructs the
+    window, concatenating slices in ``slice_start``-of-pack order =
+    doc order). Inverse invariants: per doc the slice lengths sum to
+    n_tokens; per pack they sum to ``budget`` (except the final
+    partial pack).
+
+    Scale: a pure generate/projection over pack_sequences' output —
+    the explosion factor is n_tokens/budget + 1 per doc (linear in
+    corpus tokens), and no new shuffle is introduced.
+    """
+    strat = [stratum_col] if stratum_col else []
+    b = f"CAST({budget} AS BIGINT)"
+    return (
+        packed.select(
+            *strat,
+            F.col(id_col),
+            F.col("n_tokens"),
+            F.col("start_off"),
+            F.explode(F.expr("sequence(first_pack, last_pack)")).alias("pack_id"),
+        )
+        .select(
+            *strat,
+            F.col("pack_id"),
+            F.col(id_col),
+            F.expr(f"greatest(CAST(0 AS BIGINT), pack_id * {b} - start_off)").alias(
+                "slice_start"
+            ),
+            F.expr(
+                f"least(n_tokens, (pack_id + 1) * {b} - start_off)"
+                f" - greatest(CAST(0 AS BIGINT), pack_id * {b} - start_off)"
+            ).alias("slice_len"),
+        )
+        .filter(F.col("slice_len") > 0)
+    )
+
+
 # ---------------------------------------------------------------------------
 # Training-set assembly: token-budget mixture + deterministic shard order
 # ---------------------------------------------------------------------------

@@ -1656,6 +1656,29 @@ SELECT doc_id, n_tokens, start_off,
 FROM c"""
 
 
+def q_pack_manifest(spark, sf_dir):
+    """Dataloader manifest at budget 128: per context window, the doc
+    slices (within-doc token offsets) that fill it."""
+    packed = CU.pack_sequences(_docs(spark, sf_dir), budget=128, block_size=64)
+    return CU.pack_manifest(packed, budget=128)
+
+
+O_PACK_MANIFEST = r"""
+WITH tc AS (SELECT doc_id, CAST(len(regexp_extract_all(text, '[A-Za-z]+|\d+|[^\sA-Za-z\d]')) AS BIGINT) AS n_tokens FROM documents),
+c AS (SELECT doc_id, n_tokens,
+        CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_off
+      FROM tc),
+spans AS (SELECT doc_id, n_tokens, start_off,
+        start_off // 128 AS first_pack,
+        (start_off + greatest(n_tokens, 1) - 1) // 128 AS last_pack
+      FROM c)
+SELECT CAST(p AS BIGINT) AS pack_id, doc_id,
+  CAST(greatest(0, p * 128 - start_off) AS BIGINT) AS slice_start,
+  CAST(least(n_tokens, (p + 1) * 128 - start_off) - greatest(0, p * 128 - start_off) AS BIGINT) AS slice_len
+FROM spans, unnest(range(first_pack, last_pack + 1)) AS u(p)
+WHERE least(n_tokens, (p + 1) * 128 - start_off) - greatest(0, p * 128 - start_off) > 0"""
+
+
 def q_curated_corpus_clean(spark, sf_dir):
     """The FULL clean-corpus composition, one DuckDB oracle:
 
@@ -2073,6 +2096,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # sibling noted per line) ---
     "mixture_sample": q_mixture_sample,
     "training_shards": q_training_shards,
+    "pack_manifest": q_pack_manifest,
     "timestamp_iso": q_timestamp_iso,  # timestamp_precedence subsumes
     "genid_md5": _genid_q("md5"),  # genid_sha256 covers the seed surface
     "enrich_tool_miss": q_enrich_tool_miss,  # enrich_role_counts covers J3
@@ -2157,6 +2181,7 @@ ORACLES: dict[str, str] = {
     "stratified_sample": O_STRATIFIED,
     "mixture_sample": O_MIXTURE,
     "training_shards": O_TRAINING_SHARDS,
+    "pack_manifest": O_PACK_MANIFEST,
     "quota_sample": O_QUOTA,
     "sequence_packing": O_PACKING,
     "sequence_packing_by_source": O_PACKING_BY_SOURCE,

@@ -618,3 +618,30 @@ def test_build_training_set_job(spark, tmp_path, capsys):
     for poss in by_shard.values():
         assert sorted(poss) == list(range(len(poss)))  # dense order
     assert spark.read.parquet(f"{out}/packs").count() == len(got)
+
+
+def test_pack_manifest_inverse_invariants(spark):
+    """Slices tile each doc contiguously from 0 and sum to n_tokens;
+    per pack they sum to the budget (except the final partial pack);
+    zero-token docs appear in no pack."""
+    rng = random.Random(31)
+    rows = [(i, " ".join("w" for _ in range(rng.randint(0, 40)))) for i in range(60)]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    packed = CU.pack_sequences(docs, budget=16, block_size=8)
+    man = CU.pack_manifest(packed, budget=16).collect()
+    ntok = {r["doc_id"]: r["n_tokens"] for r in packed.collect()}
+    per_doc: dict[int, list[tuple[int, int]]] = {}
+    per_pack: dict[int, int] = {}
+    for r in man:
+        per_doc.setdefault(r["doc_id"], []).append((r["slice_start"], r["slice_len"]))
+        per_pack[r["pack_id"]] = per_pack.get(r["pack_id"], 0) + r["slice_len"]
+    for d, slices in per_doc.items():
+        slices.sort()
+        assert slices[0][0] == 0
+        for (s1, l1), (s2, _) in zip(slices, slices[1:]):
+            assert s1 + l1 == s2
+        assert sum(l for _, l in slices) == ntok[d]
+    assert set(per_doc) == {d for d, n in ntok.items() if n > 0}
+    last = max(per_pack)
+    for p, tot in per_pack.items():
+        assert tot == 16 or p == last
