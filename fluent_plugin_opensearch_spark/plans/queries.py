@@ -2053,17 +2053,14 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "chunk_dedup": q_chunk_dedup,
     "props_json": q_props_json,
     "dedup_exact": q_dedup_exact,
-    "doc_fingerprint": q_doc_fingerprint,
     "text_stats": q_text_stats,
     "lang_pred": q_lang_pred,
     "ann_cosine_topk": q_ann_cosine_topk,
     "session_stats": q_session_stats,
     "placeholder_routing": q_placeholder_routing,
     "alias_rollover": q_alias_rollover,
-    "embedding_neardup": q_embedding_neardup,
     "quality_filter": q_quality_filter,
     "grok_extract": q_grok_extract,
-    "duration_percentiles": q_duration_percentiles,
     "rollup_cascade": q_rollup_cascade,
     "minhash_md5_pairs": q_minhash_md5_pairs,
     "simhash_neardup_md5": q_simhash_neardup_md5,
@@ -2089,19 +2086,23 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dsir_scores_md5": q_dsir_scores_md5,
     "dsir_topk_md5": q_dsir_topk_md5,
     "dedup_incremental_md5": q_dedup_incremental_md5,
-    # --- tail (positions 50+): first the r4 training-set assembly pair
-    # (oracle-checked at the local gate; the 50-row window is full of
-    # non-redundant operator families), then oracle-checked-but-
-    # redundant queries recorded green in CORRECTNESS_r03 (retained
-    # sibling noted per line) ---
     "mixture_sample": q_mixture_sample,
     "training_shards": q_training_shards,
     "pack_manifest": q_pack_manifest,
+    # --- tail (positions 50+): oracle-checked-but-redundant queries
+    # recorded green in CORRECTNESS_r03 (retained sibling noted per
+    # line), then the rows-only variants ---
     "timestamp_iso": q_timestamp_iso,  # timestamp_precedence subsumes
     "genid_md5": _genid_q("md5"),  # genid_sha256 covers the seed surface
     "enrich_tool_miss": q_enrich_tool_miss,  # enrich_role_counts covers J3
     "affinity_e2e": q_affinity_e2e,  # affinity_routing covers R5/J1
     "dedup_keep_first": q_dedup_keep_first,  # dedup_exact+doc_fingerprint
+    "doc_fingerprint": q_doc_fingerprint,  # dedup_exact (family) +
+    # genid_sha256 (digest math) cover it
+    "duration_percentiles": q_duration_percentiles,  # rollup_cascade
+    # covers the percentile/re-agg component
+    "embedding_neardup": q_embedding_neardup,  # embedding_neardup_lsh_md5
+    # full-chain-checks candidate gen + the same exact-cosine verify
     "conv_gaps": q_conv_gaps,  # per_conv_stats covers O4 ordering
     "token_counts": q_token_counts,  # text_stats covers the projections
     "lang_source_profile": q_lang_source_profile,  # lang_pred covers lang-id
