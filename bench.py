@@ -72,6 +72,7 @@ BENCH_QUERIES = [
     "dsir_scores",
     "mixture_sample",
     "training_shards",
+    "winnow_pairs_md5",
 ]
 
 CFG = PipelineConfig(logstash_format=True, logstash_prefix="logs")

@@ -505,6 +505,123 @@ def ngram_jaccard_pairs(
 
 
 # ---------------------------------------------------------------------------
+# Winnowing fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD 2003)
+# ---------------------------------------------------------------------------
+
+def _positional_shingles(docs: DataFrame, id_col: str, text_col: str, k: int) -> DataFrame:
+    """(id, pos, shingle) rows preserving order and duplicates — the
+    positional variant of ``_shingles`` (winnowing is position-aware,
+    so no array_distinct here)."""
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    n = F.greatest(F.size(toks) - (k - 1), F.lit(0))
+    arr = F.when(
+        n > 0,
+        F.transform(
+            F.sequence(F.lit(0), n - 1),
+            lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j + 1) for j in range(k)]),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return _ensure_parallelism(docs).select(
+        F.col(id_col), F.posexplode(arr).alias("pos", "shingle")
+    )
+
+
+def winnow_fingerprints(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    w: int = 4,
+    hasher=None,
+) -> DataFrame:
+    """Robust winnowing document fingerprints (the MOSS algorithm —
+    Schleimer/Wilkerson/Aiken, "Winnowing: Local Algorithms for
+    Document Fingerprinting", SIGMOD 2003): hash every word
+    ``k``-shingle, slide a window of ``w`` consecutive hashes, and
+    select each window's minimum (rightmost on ties). Guarantees: any
+    shared substring of ≥ w+k-1 tokens yields ≥1 shared fingerprint,
+    and the selected density is ~2/(w+1) — position-aware, unlike
+    MinHash (set-level) or SimHash (bit-level).
+
+    Shape: positional shingle explode (map-side) → ONE exchange on
+    ``id_col`` feeding two window functions (rightmost-min-of-frame
+    via ``min(struct(hash, -pos))``, plus the per-doc gram count) →
+    distinct. Whole chain is codegen built-ins; the md5 ``hasher``
+    twin reproduces bit-for-bit in DuckDB (full-chain oracle).
+
+    Windows shorter than ``w`` (docs with < w shingles) contribute the
+    rightmost-min over the whole doc, so every doc with ≥ k tokens
+    gets ≥1 fingerprint. Returns (id, fp_pos, fp_hash) distinct rows.
+    """
+    hasher = hasher or (lambda c, seed: F.xxhash64(c, F.lit(seed)))
+    rows = _positional_shingles(docs, id_col, text_col, k).select(
+        F.col(id_col), F.col("pos"), hasher(F.col("shingle"), 0).alias("h")
+    )
+    frame = (
+        Window.partitionBy(id_col).orderBy("pos").rowsBetween(-(w - 1), Window.currentRow)
+    )
+    sel = rows.select(
+        F.col(id_col),
+        F.col("pos"),
+        F.min(F.struct(F.col("h"), (-F.col("pos")).alias("np"))).over(frame).alias("s"),
+        F.count(F.lit(1)).over(Window.partitionBy(id_col)).alias("n"),
+    )
+    return (
+        sel.filter((F.col("pos") >= w - 1) | (F.col("pos") == F.col("n") - 1))
+        .select(
+            F.col(id_col),
+            (-F.col("s.np")).alias("fp_pos"),
+            F.col("s.h").alias("fp_hash"),
+        )
+        .distinct()
+    )
+
+
+def winnow_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    w: int = 4,
+    min_shared: int = 2,
+    max_postings: int = 500,
+    hasher=None,
+) -> DataFrame:
+    """Near-duplicate candidate pairs from shared winnowing
+    fingerprints: docs sharing ≥ ``min_shared`` distinct fingerprint
+    hashes (each shared hash witnesses a shared token run — the
+    plagiarism-detection notion of overlap, robust to reordering of
+    non-overlapping parts).
+
+    Scale shape mirrors ``minhash_lsh_pairs``: the posting-list join is
+    keyed on the fingerprint hash; hyper-common fingerprints
+    (boilerplate runs) are dropped by a WINDOW count over the join key
+    itself (> ``max_postings`` docs ⇒ drop — one exchange that the
+    self-join then reuses, no aggregate+join branch; see the minhash
+    mega-bucket guard note). Returns (doc_a, doc_b, n_shared).
+    """
+    fps = winnow_fingerprints(docs, id_col, text_col, k, w, hasher)
+    posting = fps.select(F.col(id_col), F.col("fp_hash")).distinct()
+    posting = (
+        posting.withColumn(
+            "_pn", F.count(F.lit(1)).over(Window.partitionBy("fp_hash"))
+        )
+        .filter(F.col("_pn") <= max_postings)
+        .drop("_pn")
+    )
+    return (
+        posting.alias("a")
+        .join(posting.alias("b"), on="fp_hash", how="inner")
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .groupBy(
+            F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
+
+
+# ---------------------------------------------------------------------------
 # Similarity search (ANN over embeddings)
 # ---------------------------------------------------------------------------
 

@@ -531,3 +531,83 @@ def test_dedup_incremental_planted(spark):
     assert out[12]["first_match"] == 0 and out[12]["kept"] == 0
     assert out[13]["exact_dup"] == 0 and out[13]["n_near"] == 0
     assert out[13]["first_match"] == -1 and out[13]["kept"] == 1
+
+
+# --- winnowing fingerprints (Schleimer/Wilkerson/Aiken 2003) ---
+
+
+def _py_winnow(text: str, k: int = 3, w: int = 4) -> set[tuple[int, int]]:
+    """Independent reference implementation of robust winnowing with
+    the md5 60-bit shingle hash (rightmost-min tie rule). Returns
+    {(fp_pos, fp_hash)}."""
+    import hashlib
+
+    toks = text.strip().split()
+    grams = [" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)]
+    hs = [int(hashlib.md5(f"{g}#0".encode()).hexdigest()[:15], 16) for g in grams]
+    n = len(hs)
+    out: set[tuple[int, int]] = set()
+    for q in range(n):
+        if q >= w - 1 or q == n - 1:
+            lo = max(0, q - w + 1)
+            best = min(range(lo, q + 1), key=lambda p: (hs[p], -p))
+            out.add((best, hs[best]))
+    return out
+
+
+def test_winnow_python_parity_random(spark):
+    """Spark winnow_fingerprints (md5 twin) == the independent Python
+    reference on random small-vocab docs (small vocab forces repeated
+    shingles, hash ties, and duplicate selections)."""
+    import random
+
+    rng = random.Random(47)
+    vocab = ["agg", "row", "scan", "key"]
+    rows = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(0, 14))))
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        (r["doc_id"], r["fp_pos"], r["fp_hash"])
+        for r in DS.winnow_fingerprints(df, hasher=DS._md5_hasher).collect()
+    }
+    want = {
+        (i, p, h) for i, text in rows for (p, h) in _py_winnow(text)
+    }
+    assert got == want
+    # density sanity: every doc with >= k tokens fingerprinted
+    assert {i for i, _, _ in got} == {i for i, t in rows if len(t.split()) >= 3}
+
+
+def test_winnow_guarantee_planted(spark):
+    """The winnowing guarantee: a shared token run of >= w + k - 1
+    tokens (here 6) yields >= 1 shared fingerprint, so the pair
+    surfaces; disjoint docs never pair."""
+    shared = "zeta yotta quark gluon meson boson"  # 6 tokens, distinctive
+    rows = [
+        (0, "alpha beta gamma " + shared + " delta epsilon"),
+        (1, shared + " omega psi chi phi upsilon tau"),
+        (2, "one two three four five six seven eight nine"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    pairs = {
+        (r["doc_a"], r["doc_b"])
+        for r in DS.winnow_pairs(df, min_shared=1, hasher=DS._md5_hasher).collect()
+    }
+    assert (0, 1) in pairs
+    assert not any(2 in p for p in pairs)
+
+
+def test_winnow_posting_guard(spark):
+    """Fingerprint hashes appearing in > max_postings docs are dropped
+    before the self-join (boilerplate guard): identical boilerplate in
+    every doc stops pairing when the guard is tightened below the
+    corpus size."""
+    boiler = "terms of service apply to all"
+    rows = [(i, boiler) for i in range(12)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    open_pairs = DS.winnow_pairs(df, min_shared=1, max_postings=50).count()
+    guarded = DS.winnow_pairs(df, min_shared=1, max_postings=5).count()
+    assert open_pairs == 12 * 11 // 2
+    assert guarded == 0

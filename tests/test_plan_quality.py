@@ -280,3 +280,21 @@ def test_training_shards_single_exchange(spark):
     shuffles = re.findall(r"\(\d+\) Exchange\b", plan)
     assert len(shuffles) == 1, plan
     assert "hashpartitioning(shard" in plan
+
+
+def test_winnow_pairs_guard_is_window_no_python(spark):
+    """Winnowing pairs: the posting-list guard must be a WINDOW count
+    over the fp_hash join key (the minhash guard shape — no
+    aggregate+join-back producing _pn), the whole chain stays JVM-side
+    (no BatchEvalPython), and the fingerprint selection itself is one
+    exchange on doc_id feeding the window pair."""
+    from fluent_plugin_opensearch_spark.operators import dataset as DS
+
+    import re
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    plan = _plan(DS.winnow_pairs(docs))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "Window" in plan
+    for m in re.finditer(r"\(\d+\) HashAggregate.*?(?=\n\(\d+\)|\Z)", plan, re.S):
+        assert "_pn" not in m.group(0), "posting guard must not be an aggregate+join"
