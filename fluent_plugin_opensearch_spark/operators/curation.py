@@ -644,6 +644,77 @@ def pack_manifest(
     )
 
 
+def chunk_documents(
+    docs: DataFrame,
+    window: int = 32,
+    stride: int = 24,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    with_text: bool = True,
+) -> DataFrame:
+    """Sliding-window document chunking: split each doc's whitespace
+    token stream into overlapping windows of ``window`` tokens whose
+    starts advance by ``stride`` (overlap = window − stride) — the
+    standard context-window layout for embedding/RAG indexing and
+    long-doc training. Chunk starts are 0, stride, 2·stride, …; the
+    final chunk starts at the last multiple of stride that still
+    leaves uncovered tokens and may be shorter than ``window`` — every
+    token lands in ≥1 chunk, and no chunk is empty or fully contained
+    in its predecessor.
+
+    Pure per-doc generate/projection (sequence → explode → slice): no
+    shuffle, no UDF; explosion factor ≈ n_tokens/stride per doc. With
+    ``with_text=False`` only offsets are emitted (the cheap manifest —
+    chunk text can be re-sliced at read time).
+
+    Returns (id, chunk_idx, tok_start, tok_len[, chunk_text]).
+    """
+    if not 0 < stride <= window:
+        raise ValueError(f"stride must be in 1..window, got {stride}/{window}")
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    n = F.size(toks).cast("bigint")
+    base = docs.filter(F.col(text_col).isNotNull() & (F.trim(F.col(text_col)) != ""))
+    base = base.select(
+        F.col(id_col),
+        toks.alias("_t"),
+        n.alias("_n"),
+        F.when(
+            n > window,
+            F.expr(f"(size(split(trim({text_col}), '\\\\s+')) - {window} + {stride} - 1) div {stride}"),
+        )
+        .otherwise(F.lit(0))
+        .cast("bigint")
+        .alias("_k"),
+    )
+    out = base.select(
+        F.col(id_col),
+        F.col("_t"),
+        F.col("_n"),
+        F.explode(F.expr("sequence(CAST(0 AS BIGINT), _k)")).alias("chunk_idx"),
+    ).select(
+        F.col(id_col),
+        F.col("chunk_idx"),
+        (F.col("chunk_idx") * stride).alias("tok_start"),
+        F.least(F.col("_n") - F.col("chunk_idx") * stride, F.lit(window))
+        .cast("bigint")
+        .alias("tok_len"),
+        F.col("_t"),
+    )
+    if with_text:
+        out = out.withColumn(
+            "chunk_text",
+            F.array_join(
+                F.slice(
+                    F.col("_t"),
+                    (F.col("tok_start") + 1).cast("int"),
+                    F.col("tok_len").cast("int"),
+                ),
+                " ",
+            ),
+        )
+    return out.drop("_t")
+
+
 # ---------------------------------------------------------------------------
 # Training-set assembly: token-budget mixture + deterministic shard order
 # ---------------------------------------------------------------------------

@@ -1729,6 +1729,31 @@ SELECT doc_id, n_tokens, start_off,
 FROM c"""
 
 
+def q_doc_chunks(spark, sf_dir):
+    """Sliding-window chunking at window=32/stride=24 (overlap 8):
+    per-doc overlapping context windows with offsets + text."""
+    return CU.chunk_documents(_docs(spark, sf_dir), window=32, stride=24)
+
+
+O_DOC_CHUNKS = r"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+  FROM documents WHERE text IS NOT NULL AND trim(text) <> ''),
+n AS (SELECT doc_id, t, CAST(len(t) AS BIGINT) AS n FROM toks),
+k AS (SELECT doc_id, t, n,
+        CASE WHEN n > 32 THEN (n - 32 + 24 - 1) // 24 ELSE 0 END AS kk FROM n),
+c AS (SELECT doc_id, t, n, CAST(i AS BIGINT) AS chunk_idx
+      FROM k, unnest(range(0, kk + 1)) AS u(i))
+SELECT doc_id, chunk_idx,
+  chunk_idx * 24 AS tok_start,
+  least(n - chunk_idx * 24, 32) AS tok_len,
+  array_to_string(
+    t[CAST(chunk_idx * 24 + 1 AS INT)
+      : CAST(chunk_idx * 24 + least(n - chunk_idx * 24, 32) AS INT)],
+    ' ') AS chunk_text
+FROM c"""
+
+
 def q_pack_manifest(spark, sf_dir):
     """Dataloader manifest at budget 128: per context window, the doc
     slices (within-doc token offsets) that fill it."""
@@ -2139,7 +2164,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "simhash_neardup_md5": q_simhash_neardup_md5,
     "ngram_jaccard": q_ngram_jaccard,
     "dedup_clusters": q_dedup_clusters,
-    "curated_corpus": q_curated_corpus,
     "embedding_neardup_lsh_md5": q_embedding_neardup_lsh_md5,
     "pii_redaction": q_pii_redaction,
     "contamination": q_contamination,
@@ -2162,6 +2186,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "training_shards": q_training_shards,
     "pack_manifest": q_pack_manifest,
     "winnow_pairs_md5": q_winnow_pairs_md5,
+    "doc_chunks": q_doc_chunks,
     # --- tail (positions 50+): oracle-checked-but-redundant queries
     # recorded green in CORRECTNESS_r03 (retained sibling noted per
     # line), then the rows-only variants ---
@@ -2176,6 +2201,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # recomputes the plain (global) pack_sequences path in its oracle
     "winnow_md5": q_winnow_md5,  # winnow_pairs_md5 full-chain-checks
     # the fingerprint selection it builds on
+    "curated_corpus": q_curated_corpus,  # curated_corpus_clean runs the
+    # same curate_corpus chain inside its bigger composition
     "duration_percentiles": q_duration_percentiles,  # rollup_cascade
     # covers the percentile/re-agg component
     "embedding_neardup": q_embedding_neardup,  # embedding_neardup_lsh_md5
@@ -2263,6 +2290,7 @@ ORACLES: dict[str, str] = {
     "mixture_sample": O_MIXTURE,
     "training_shards": O_TRAINING_SHARDS,
     "pack_manifest": O_PACK_MANIFEST,
+    "doc_chunks": O_DOC_CHUNKS,
     "quota_sample": O_QUOTA,
     "sequence_packing": O_PACKING,
     "sequence_packing_by_source": O_PACKING_BY_SOURCE,

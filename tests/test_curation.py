@@ -645,3 +645,38 @@ def test_pack_manifest_inverse_invariants(spark):
     last = max(per_pack)
     for p, tot in per_pack.items():
         assert tot == 16 or p == last
+
+
+def test_chunk_documents_invariants(spark):
+    """Sliding-window chunking vs an independent Python reference on
+    random docs: offsets/lengths/text identical; every token covered;
+    consecutive starts differ by exactly the stride; no empty chunks;
+    whitespace-only docs excluded."""
+    rng = random.Random(53)
+    rows = [
+        (i, " ".join(f"t{rng.randint(0, 9)}" for _ in range(rng.randint(1, 30))))
+        for i in range(40)
+    ] + [(97, "   "), (98, None)]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        (r["doc_id"], r["chunk_idx"], r["tok_start"], r["tok_len"], r["chunk_text"])
+        for r in CU.chunk_documents(docs, window=8, stride=5).collect()
+    }
+    want = set()
+    for i, text in rows:
+        if text is None or not text.strip():
+            continue
+        toks = text.strip().split()
+        n = len(toks)
+        kk = (n - 8 + 5 - 1) // 5 if n > 8 else 0
+        for c in range(kk + 1):
+            start = c * 5
+            ln = min(n - start, 8)
+            want.add((i, c, start, ln, " ".join(toks[start : start + ln])))
+    assert got == want
+    for _, _, start, ln, _ in got:
+        assert ln > 0
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        CU.chunk_documents(docs, window=8, stride=9)
