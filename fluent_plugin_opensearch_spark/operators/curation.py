@@ -407,6 +407,80 @@ def dsir_scores(
     )
 
 
+def lm_cross_entropy(
+    docs: DataFrame,
+    lm_docs: DataFrame | None = None,
+    buckets: int = 4096,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    hasher=None,
+) -> DataFrame:
+    """Per-document cross-entropy under a hashed-n-gram reference LM —
+    the CCNet/Gopher-style perplexity quality signal (Wenzek et al.
+    2020 filter web text by LM perplexity; here the LM is a
+    Laplace-smoothed bucket-unigram model over the same hashed
+    unigram+bigram feature space as DSIR, so it needs no external
+    model). Docs whose features are improbable under the reference
+    distribution (gibberish, boilerplate soup, wrong language) score
+    high; ``ce_micro`` is the mean NLL in integer micro-nats.
+
+    NLL(b) = −ln((c_b + 0.5) / (C + 0.5·B)) with counts c_b from
+    ``lm_docs`` (default: the corpus itself — self-perplexity).
+    Per-bucket NLLs are quantized to integer micro-nats before the
+    per-doc sum (exact BIGINT aggregation, no float-order hazard —
+    the dsir_scores trick); features unseen in the LM get the c=0
+    smoothed NLL.
+
+    Scale shape: identical to ``dsir_scores`` — map-side feature
+    explode, ≤``buckets``-row count aggregate with a bounded window
+    for the total, the NLL table BROADCAST into the scoring join, one
+    corpus shuffle (the final groupBy(doc)). Returns
+    (id, n_feats, ce_micro_sum, ce_micro).
+    """
+    lm = lm_docs if lm_docs is not None else docs
+    feats_d = dsir_bucket_features(docs, buckets, id_col, text_col, hasher)
+    feats_lm = (
+        feats_d
+        if lm is docs
+        else dsir_bucket_features(lm, buckets, id_col, text_col, hasher)
+    )
+    counts = (
+        feats_lm.groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("c_n"))
+        .withColumn("_C", F.sum("c_n").over(Window.partitionBy()))
+    )
+    nll = counts.select(
+        "bucket",
+        F.round(
+            F.lit(-1000000.0)
+            * F.log((F.col("c_n") + F.lit(0.5)) / (F.col("_C") + F.lit(0.5 * buckets)))
+        )
+        .cast("bigint")
+        .alias("_nll"),
+    )
+    ctot = feats_lm.groupBy().agg(F.count(F.lit(1)).cast("bigint").alias("_C"))
+    unseen = (
+        F.round(
+            F.lit(-1000000.0)
+            * F.log(F.lit(0.5) / (F.col("_C") + F.lit(0.5 * buckets)))
+        )
+        .cast("bigint")
+    )
+    scored = (
+        feats_d.join(F.broadcast(nll), "bucket", "left")
+        .crossJoin(F.broadcast(ctot))
+        .select(F.col(id_col), F.coalesce(F.col("_nll"), unseen).alias("_nll"))
+    )
+    return (
+        scored.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_feats"),
+            F.sum("_nll").cast("bigint").alias("ce_micro_sum"),
+        )
+        .withColumn("ce_micro", F.expr("ce_micro_sum div n_feats"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # Deterministic sampling for dataset mixing
 # ---------------------------------------------------------------------------

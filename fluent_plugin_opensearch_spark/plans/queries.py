@@ -2066,6 +2066,52 @@ O_DSIR_TOPK = (
 )
 
 
+def q_lm_ce_md5(spark, sf_dir):
+    """LM cross-entropy quality signal (CCNet-style, r4): every doc
+    scored by mean NLL in micro-nats under a hashed-n-gram bucket LM
+    trained on the English subset (md5 feature hash — full-chain
+    oracle; scoring the full corpus against a subset-LM exercises
+    both the seen- and unseen-bucket paths)."""
+    docs = _docs(spark, sf_dir)
+    return CU.lm_cross_entropy(
+        docs,
+        docs.filter(F.col("lang") == "en"),
+        buckets=4096,
+        hasher=CU._dsir_md5_hasher,
+    )
+
+
+def q_lm_ce(spark, sf_dir):
+    """Production LM cross-entropy path (xxhash64 features) —
+    rows-only check."""
+    docs = _docs(spark, sf_dir)
+    return CU.lm_cross_entropy(docs, docs.filter(F.col("lang") == "en"), buckets=4096)
+
+
+O_LM_CE = r"""
+WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents),
+uni AS (SELECT doc_id, unnest(t) AS ng FROM toks),
+bi AS (SELECT doc_id, t[CAST(i AS INT)] || ' ' || t[CAST(i AS INT) + 1] AS ng
+       FROM toks, unnest(range(1, len(t))) AS u(i)),
+feats AS (SELECT doc_id, ('0x' || substr(md5(ng || '#dsir'), 1, 15))::BIGINT % 4096 AS bucket
+          FROM (SELECT * FROM uni UNION ALL SELECT * FROM bi)),
+lmf AS (SELECT f.bucket FROM feats f JOIN documents d USING (doc_id) WHERE d.lang = 'en'),
+c AS (SELECT bucket, CAST(count(*) AS BIGINT) AS c_n FROM lmf GROUP BY bucket),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS cc FROM lmf),
+w AS (SELECT bucket,
+        CAST(round(-1000000.0 * ln((c_n + 0.5) / (cc + 0.5 * 4096))) AS BIGINT) AS nll
+      FROM c, tot),
+sc AS (SELECT f.doc_id,
+         coalesce(w.nll,
+                  (SELECT CAST(round(-1000000.0 * ln(0.5 / (cc + 0.5 * 4096))) AS BIGINT)
+                   FROM tot)) AS nll
+       FROM feats f LEFT JOIN w USING (bucket))
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_feats,
+       CAST(sum(nll) AS BIGINT) AS ce_micro_sum,
+       CAST(sum(nll) AS BIGINT) // CAST(count(*) AS BIGINT) AS ce_micro
+FROM sc GROUP BY doc_id"""
+
+
 def q_dedup_incremental_md5(spark, sf_dir):
     """Incremental ingest dedup (r4): new batch (doc_id%10>=8) checked
     against the existing corpus (doc_id%10<8) — exact fingerprint
@@ -2179,8 +2225,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # row AND a retained sibling covering the same operator)
     "repetition_signals": q_repetition_signals,
     "paragraph_dedup": q_paragraph_dedup,
-    "dsir_scores_md5": q_dsir_scores_md5,
     "dsir_topk_md5": q_dsir_topk_md5,
+    "lm_ce_md5": q_lm_ce_md5,
     "dedup_incremental_md5": q_dedup_incremental_md5,
     "mixture_sample": q_mixture_sample,
     "training_shards": q_training_shards,
@@ -2203,6 +2249,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # the fingerprint selection it builds on
     "curated_corpus": q_curated_corpus,  # curated_corpus_clean runs the
     # same curate_corpus chain inside its bigger composition
+    "dsir_scores_md5": q_dsir_scores_md5,  # dsir_topk_md5 full-chain-
+    # recomputes the scores it ranks
     "duration_percentiles": q_duration_percentiles,  # rollup_cascade
     # covers the percentile/re-agg component
     "embedding_neardup": q_embedding_neardup,  # embedding_neardup_lsh_md5
@@ -2227,6 +2275,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dsir_scores": q_dsir_scores,
     "dedup_incremental": q_dedup_incremental,
     "winnow_pairs": q_winnow_pairs,
+    "lm_ce": q_lm_ce,
 }
 
 ORACLES: dict[str, str] = {
@@ -2300,5 +2349,6 @@ ORACLES: dict[str, str] = {
     "paragraph_dedup": O_PARAGRAPH_DEDUP,
     "dsir_scores_md5": O_DSIR,
     "dsir_topk_md5": O_DSIR_TOPK,
+    "lm_ce_md5": O_LM_CE,
     "dedup_incremental_md5": O_DEDUP_INCR,
 }

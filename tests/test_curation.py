@@ -680,3 +680,56 @@ def test_chunk_documents_invariants(spark):
 
     with _pytest.raises(ValueError):
         CU.chunk_documents(docs, window=8, stride=9)
+
+
+def test_lm_cross_entropy_python_parity(spark):
+    """lm_cross_entropy (md5 twin) vs an independent Python
+    implementation of the bucket-LM NLL on random docs, with the LM
+    trained on a subset so unseen-bucket smoothing is exercised."""
+    import hashlib
+    import math
+
+    rng = random.Random(59)
+    vocab = [f"w{j}" for j in range(30)]
+    rows = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(1, 20))))
+        for i in range(30)
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    lm_rows = [r for r in rows if r[0] % 3 == 0]
+    lm = docs.filter(F.col("doc_id") % 3 == 0)
+    B = 64
+
+    def bucket(ng: str) -> int:
+        return int(hashlib.md5(f"{ng}#dsir".encode()).hexdigest()[:15], 16) % B
+
+    def feats(text: str) -> list[int]:
+        t = text.strip().split()
+        return [bucket(g) for g in t] + [
+            bucket(f"{t[i]} {t[i + 1]}") for i in range(len(t) - 1)
+        ]
+
+    counts: dict[int, int] = {}
+    for _, text in lm_rows:
+        for b in feats(text):
+            counts[b] = counts.get(b, 0) + 1
+    C = sum(counts.values())
+
+    def nll(b: int) -> int:
+        return round(-1e6 * math.log((counts.get(b, 0) + 0.5) / (C + 0.5 * B)))
+
+    want = {}
+    for i, text in rows:
+        fs = feats(text)
+        s = sum(nll(b) for b in fs)
+        want[i] = (len(fs), s, s // len(fs))
+    got = {
+        r["doc_id"]: (r["n_feats"], r["ce_micro_sum"], r["ce_micro"])
+        for r in CU.lm_cross_entropy(
+            docs, lm, buckets=B, hasher=CU._dsir_md5_hasher
+        ).collect()
+    }
+    assert got == want
+    # sanity: self-perplexity (lm = corpus) runs and covers every doc
+    self_ce = CU.lm_cross_entropy(docs, buckets=B, hasher=CU._dsir_md5_hasher)
+    assert self_ce.count() == len(rows)
