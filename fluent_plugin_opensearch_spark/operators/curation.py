@@ -407,6 +407,87 @@ def dsir_scores(
     )
 
 
+#: URL matcher + host-capture — valid in Java regex, RE2 and Python
+#: ``re`` (no lookaround); the host group stops at '/', ':', '?', '#'.
+URL_PATTERN = r"https?://[^\s]+"
+DOMAIN_PATTERN = r"https?://([^/:?#\s]+)"
+
+
+def extract_urls(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(id, u_idx, url, domain) — one row per URL occurrence, with the
+    lowercased host. Pure map-side explode, no shuffle."""
+    return docs.select(
+        F.col(id_col),
+        F.posexplode(
+            F.regexp_extract_all(F.col(text_col), F.lit(URL_PATTERN), 0)
+        ).alias("u_idx", "url"),
+    ).withColumn(
+        "domain", F.lower(F.regexp_extract(F.col("url"), DOMAIN_PATTERN, 1))
+    )
+
+
+def domain_blocklist_flags(
+    docs: DataFrame,
+    blocklist: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    domain_col: str = "domain",
+) -> DataFrame:
+    """Per-doc URL/blocked-URL counts against a domain blocklist with
+    SUBDOMAIN matching (a blocklist entry ``example.com`` blocks
+    ``a.b.example.com``) — the standard web-curation source filter.
+
+    Scale shape: suffix matching is NOT a LIKE/endswith non-equi join
+    (O(n·m) at corpus scale); each URL's domain explodes into its
+    label-suffix chain (``a.b.c`` → a.b.c, b.c, c — ≤ ~6 rows) and the
+    match is an EQUI-join on the suffix with the blocklist broadcast.
+    Everything before the per-doc count is map-side. Returns
+    (id, n_urls, n_blocked); docs with no URLs are absent.
+    """
+    urls = extract_urls(docs, id_col, text_col)
+    parts = F.split(F.col("domain"), r"\.")
+    sufs = urls.select(
+        F.col(id_col),
+        F.col("u_idx"),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size(parts)),
+                lambda i: F.concat_ws(".", F.slice(parts, i, F.size(parts))),
+            )
+        ).alias("suf"),
+    )
+    bl = F.broadcast(
+        blocklist.select(F.lower(F.col(domain_col)).alias("suf")).distinct()
+    )
+    hits = sufs.join(bl, "suf").select(id_col, "u_idx").distinct()
+    n_urls = urls.groupBy(id_col).agg(F.count(F.lit(1)).cast("bigint").alias("n_urls"))
+    n_blocked = hits.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_blocked")
+    )
+    return n_urls.join(n_blocked, id_col, "left").select(
+        F.col(id_col),
+        F.col("n_urls"),
+        F.coalesce(F.col("n_blocked"), F.lit(0)).cast("bigint").alias("n_blocked"),
+    )
+
+
+def filter_blocked_domains(
+    docs: DataFrame,
+    blocklist: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    domain_col: str = "domain",
+) -> DataFrame:
+    """Drop docs citing any blocklisted domain (subdomain-aware):
+    left-anti join of the corpus against the blocked id set — docs
+    with no URLs are kept."""
+    flags = domain_blocklist_flags(docs, blocklist, id_col, text_col, domain_col)
+    blocked = flags.filter(F.col("n_blocked") > 0).select(id_col)
+    return docs.join(blocked, id_col, "left_anti")
+
+
 def lm_cross_entropy(
     docs: DataFrame,
     lm_docs: DataFrame | None = None,

@@ -2066,6 +2066,74 @@ O_DSIR_TOPK = (
 )
 
 
+def _docs_with_urls(spark, sf_dir):
+    """documents with deterministic synthetic URLs appended (corpus
+    text is word soup — same synthesis trick as _docs_with_pii;
+    identical expression in the oracle). Plants a blocklisted
+    subdomain (%3), an allowed domain (%5), and an UPPERCASE
+    blocklisted host (%7 — exercises lowercasing)."""
+    url_text = F.concat(
+        F.col("text"),
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(
+                F.lit(" see https://spam"),
+                (F.col("doc_id") % 7).cast("string"),
+                F.lit(".example.com/page"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(
+                F.lit(" ref https://ok.site"),
+                (F.col("doc_id") % 4).cast("string"),
+                F.lit(".org/x?q=1"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 7 == 0, F.lit(" mirror https://Bad.NET/dl")).otherwise(
+            F.lit("")
+        ),
+    )
+    return _docs(spark, sf_dir).withColumn("text", url_text)
+
+
+_SQL_URL_TEXT = """SELECT doc_id, text
+  || CASE WHEN doc_id % 3 = 0
+       THEN ' see https://spam' || CAST(doc_id % 7 AS VARCHAR) || '.example.com/page'
+       ELSE '' END
+  || CASE WHEN doc_id % 5 = 0
+       THEN ' ref https://ok.site' || CAST(doc_id % 4 AS VARCHAR) || '.org/x?q=1'
+       ELSE '' END
+  || CASE WHEN doc_id % 7 = 0 THEN ' mirror https://Bad.NET/dl' ELSE '' END AS text
+FROM documents"""
+
+
+def q_url_blocklist(spark, sf_dir):
+    """Domain-blocklist flags over URL-planted docs: per-doc URL and
+    blocked-URL counts, subdomain-aware via the suffix-chain
+    equi-join (blocklist: example.com, bad.net)."""
+    bl = spark.createDataFrame([("example.com",), ("bad.net",)], ["domain"])
+    return CU.domain_blocklist_flags(_docs_with_urls(spark, sf_dir), bl)
+
+
+O_URL_BLOCKLIST = rf"""
+WITH synth AS ({_SQL_URL_TEXT}),
+m AS (SELECT doc_id, regexp_extract_all(text, 'https?://[^\s]+') AS us FROM synth),
+urls AS (SELECT doc_id, CAST(i AS BIGINT) AS u_idx,
+           lower(regexp_extract(us[CAST(i + 1 AS INT)], 'https?://([^/:?#\s]+)', 1)) AS domain
+         FROM m, unnest(range(0, len(us))) AS r(i)),
+sufs AS (SELECT doc_id, u_idx,
+           array_to_string(p[CAST(i AS INT):len(p)], '.') AS suf
+         FROM (SELECT doc_id, u_idx, string_split(domain, '.') AS p FROM urls),
+              unnest(range(1, len(p) + 1)) AS r(i)),
+bl(suf) AS (SELECT * FROM (VALUES ('example.com'), ('bad.net'))),
+hit AS (SELECT DISTINCT doc_id, u_idx FROM sufs JOIN bl USING (suf)),
+nu AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_urls FROM urls GROUP BY doc_id),
+nb AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_blocked FROM hit GROUP BY doc_id)
+SELECT doc_id, n_urls, CAST(coalesce(n_blocked, 0) AS BIGINT) AS n_blocked
+FROM nu LEFT JOIN nb USING (doc_id)"""
+
+
 def q_lm_ce_md5(spark, sf_dir):
     """LM cross-entropy quality signal (CCNet-style, r4): every doc
     scored by mean NLL in micro-nats under a hashed-n-gram bucket LM
@@ -2251,6 +2319,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # same curate_corpus chain inside its bigger composition
     "dsir_scores_md5": q_dsir_scores_md5,  # dsir_topk_md5 full-chain-
     # recomputes the scores it ranks
+    "url_blocklist": q_url_blocklist,  # oracle-checked at the local
+    # gate; the 50-row window holds one anchor per operator family
     "duration_percentiles": q_duration_percentiles,  # rollup_cascade
     # covers the percentile/re-agg component
     "embedding_neardup": q_embedding_neardup,  # embedding_neardup_lsh_md5
@@ -2350,5 +2420,6 @@ ORACLES: dict[str, str] = {
     "dsir_scores_md5": O_DSIR,
     "dsir_topk_md5": O_DSIR_TOPK,
     "lm_ce_md5": O_LM_CE,
+    "url_blocklist": O_URL_BLOCKLIST,
     "dedup_incremental_md5": O_DEDUP_INCR,
 }

@@ -1,7 +1,8 @@
-"""Training-data corpus curation job: [PII redaction →] [paragraph
-dedup →] quality gate → exact dedup → MinHash near-dup dedup (keep one
-doc per cluster) [→ benchmark decontamination] [→ DSIR target-domain
-top-k selection], writing the curated corpus + a stats line. The
+"""Training-data corpus curation job: [domain blocklist →]
+[PII redaction →] [paragraph dedup →] quality gate → exact dedup →
+MinHash near-dup dedup (keep one doc per cluster) [→ benchmark
+decontamination] [→ DSIR target-domain top-k selection], writing the
+curated corpus + a stats line. The
 batch-mode composition of the dataset/curation operators
 (operators/dataset.py:curate_corpus, operators/curation.py).
 
@@ -33,6 +34,9 @@ def main(argv: list[str]) -> None:
     p.add_argument("--bands", type=int, default=8)
     p.add_argument("--redact-pii", action="store_true",
                    help="mask PII before dedup; the output corpus is redacted")
+    p.add_argument("--blocklist", default=None,
+                   help="domain-blocklist parquet (column: domain); docs citing "
+                        "a blocked domain (subdomain-aware) are dropped FIRST")
     p.add_argument("--paragraph-dedup", action="store_true",
                    help="strip corpus-wide repeated paragraphs (keep first "
                         "occurrence) before the quality gate")
@@ -54,6 +58,7 @@ def main(argv: list[str]) -> None:
 
     from fluent_plugin_opensearch_spark.operators.curation import (
         dsir_scores,
+        filter_blocked_domains,
         paragraph_dedup,
         redact_text,
     )
@@ -62,6 +67,10 @@ def main(argv: list[str]) -> None:
     spark = SparkSession.builder.appName("curate-corpus").getOrCreate()
     docs = spark.read.parquet(args.input)
     n_in = docs.count()
+    if args.blocklist:
+        # source filter FIRST (cheapest gate — drops whole docs before
+        # any hashing/shingling work touches them)
+        docs = filter_blocked_domains(docs, spark.read.parquet(args.blocklist))
     text_mutated = False
     if args.redact_pii:
         # in-place column replacement — a pure projection, NOT a

@@ -733,3 +733,51 @@ def test_lm_cross_entropy_python_parity(spark):
     # sanity: self-perplexity (lm = corpus) runs and covers every doc
     self_ce = CU.lm_cross_entropy(docs, buckets=B, hasher=CU._dsir_md5_hasher)
     assert self_ce.count() == len(rows)
+
+
+def test_domain_blocklist_planted(spark):
+    """Subdomain-aware blocklist: example.com blocks a.b.example.com;
+    matching is on label boundaries (notexample.com survives) and
+    case-insensitive; filter_blocked_domains keeps URL-free docs."""
+    rows = [
+        (0, "x https://a.b.example.com/p y"),
+        (1, "x https://notexample.com/p y"),
+        (2, "x https://ok.org/p https://Bad.NET/q y"),
+        (3, "no urls here"),
+        (4, "https://example.com https://also.example.com end"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    bl = spark.createDataFrame([("example.com",), ("bad.net",)], ["domain"])
+    flags = {
+        r["doc_id"]: (r["n_urls"], r["n_blocked"])
+        for r in CU.domain_blocklist_flags(docs, bl).collect()
+    }
+    assert flags == {0: (1, 1), 1: (1, 0), 2: (2, 1), 4: (2, 2)}
+    kept = {r["doc_id"] for r in CU.filter_blocked_domains(docs, bl).collect()}
+    assert kept == {1, 3}
+
+
+def test_curate_corpus_job_blocklist(spark, tmp_path, capsys):
+    """curate_corpus job with --blocklist: docs citing a blocked
+    domain (subdomain-aware) are dropped before any other stage;
+    URL-free docs flow through."""
+    import json
+
+    from jobs.curate_corpus import main as job_main
+
+    rows = [
+        (0, "alpha beta gamma delta epsilon zeta eta theta one two"),
+        (1, "iota kappa lam mu nu xi omicron pi rho sigma"),
+        (2, "tau upsilon phi chi psi omega ess tee you vee see https://evil.example.com/x"),
+    ]
+    inp, blp, out = (str(tmp_path / d) for d in ("in", "bl", "out"))
+    spark.createDataFrame(rows, ["doc_id", "text"]).write.parquet(inp)
+    spark.createDataFrame([("example.com",)], ["domain"]).write.parquet(blp)
+    job_main([
+        "--input", inp, "--output", out, "--blocklist", blp,
+        "--min-tokens", "2", "--min-chars", "10",
+    ])
+    stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    kept = {r["doc_id"] for r in spark.read.parquet(out).collect()}
+    assert kept == {0, 1}
+    assert stats["input_docs"] == 3 and stats["kept_docs"] == 2
