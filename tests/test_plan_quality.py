@@ -298,3 +298,40 @@ def test_winnow_pairs_guard_is_window_no_python(spark):
     assert "Window" in plan
     for m in re.finditer(r"\(\d+\) HashAggregate.*?(?=\n\(\d+\)|\Z)", plan, re.S):
         assert "_pn" not in m.group(0), "posting guard must not be an aggregate+join"
+
+
+def test_lm_ce_weight_join_is_broadcast_no_python(spark):
+    """lm_cross_entropy: the NLL table (<= buckets rows) and the LM
+    total must reach the scoring join as BROADCAST exchanges — the
+    corpus side shuffles exactly once (the final groupBy(doc)) — and
+    the whole chain stays JVM-side."""
+    from fluent_plugin_opensearch_spark.operators import curation as CU
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    plan = _plan(CU.lm_cross_entropy(docs, docs.limit(50), buckets=256))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "BroadcastExchange" in plan
+    assert "BroadcastNestedLoopJoin" in plan  # the 1-row total attach
+    assert "SortMergeJoin" not in plan, "NLL table must not shuffle the corpus"
+
+
+def test_url_blocklist_join_is_broadcast_no_python(spark):
+    """domain_blocklist_flags: the blocklist reaches the suffix join
+    as a BROADCAST; the exploded suffix side never sort-merge-joins;
+    no Python in the chain."""
+    from fluent_plugin_opensearch_spark.operators import curation as CU
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    bl = spark.createDataFrame([("example.com",), ("bad.net",)], ["domain"])
+    plan = _plan(CU.domain_blocklist_flags(docs, bl))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "BroadcastHashJoin" in plan
+    # the only sort-merge join is the final flags join of the two
+    # doc_id-keyed aggregates (both sides already partitioned by
+    # doc_id); the suffix join itself must never shuffle-sort
+    import re
+
+    smj_keys = re.findall(
+        r"\(\d+\) SortMergeJoin.*?Left keys \[\d+\]: \[(\w+)", plan, re.S
+    )
+    assert all(k.startswith("doc_id") for k in smj_keys), smj_keys
