@@ -958,6 +958,81 @@ def mixture_sample(
     )
 
 
+def temperature_mixture_plan(
+    docs: DataFrame,
+    budget_tokens: int,
+    alpha: float = 0.5,
+    stratum_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Temperature (α) mixture plan — the multilingual-LM rebalancing
+    rule (exponent-smoothed source weights, as popularized by
+    XLM-R-style α-sampling): target token share of stratum s ∝
+    tok_total_s^α. α=1 keeps natural proportions, α→0 flattens toward
+    uniform (upweighting small sources); the derived rates feed the
+    same md5-bucket keep filter as ``mixture_sample``.
+
+    Float boundary: pow() and the budget·share product are the only
+    floating-point steps; the wanted-token target is rounded to BIGINT
+    immediately (exact in double up to 2^53 ≈ 9e15 tokens) and the
+    permille rate is then pure integer arithmetic — the dsir_scores
+    quantization discipline. Plan shape = mixture_plan: one
+    partial-aggregated groupBy(stratum) over a two-column projection,
+    ≤|strata| output rows, then a bounded partition-less window for
+    the share normalizer.
+    """
+    w_all = Window.partitionBy()
+    tots = (
+        docs.select(F.col(stratum_col), _n_tokens(text_col).alias("_nt"))
+        .groupBy(stratum_col)
+        .agg(F.sum("_nt").cast("bigint").alias("tok_total"))
+    )
+    pw = F.pow(F.col("tok_total").cast("double"), F.lit(float(alpha)))
+    want = F.round(
+        F.lit(float(budget_tokens)) * pw / F.sum(pw).over(w_all)
+    ).cast("bigint")
+    return (
+        tots.withColumn("_want", want)
+        .select(
+            stratum_col,
+            "tok_total",
+            F.when(F.col("tok_total") == 0, F.lit(0).cast("bigint"))
+            .otherwise(
+                F.least(
+                    F.lit(1000).cast("bigint"),
+                    F.expr("(1000 * _want) div tok_total"),
+                )
+            )
+            .alias("rate_permille"),
+        )
+    )
+
+
+def temperature_mixture_sample(
+    docs: DataFrame,
+    budget_tokens: int,
+    alpha: float = 0.5,
+    stratum_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    salt: str = "mix#0",
+) -> DataFrame:
+    """Apply a temperature mixture plan: broadcast rate join + the
+    deterministic md5-bucket keep filter (the mixture_sample shape —
+    corpus never shuffled, layout/engine-stable kept set)."""
+    plan = temperature_mixture_plan(docs, budget_tokens, alpha, stratum_col, text_col)
+    return (
+        docs.join(
+            F.broadcast(plan.select(stratum_col, "rate_permille")),
+            on=stratum_col,
+            how="inner",
+        )
+        .withColumn("_bucket", _id_bucket(id_col, 1000, salt))
+        .filter(F.col("_bucket") < F.col("rate_permille"))
+        .drop("_bucket", "rate_permille")
+    )
+
+
 def training_shards(
     docs: DataFrame,
     n_shards: int,
