@@ -972,14 +972,15 @@ def temperature_mixture_plan(
     uniform (upweighting small sources); the derived rates feed the
     same md5-bucket keep filter as ``mixture_sample``.
 
-    Float boundary: pow() and the budget·share product are the only
-    floating-point steps; the wanted-token target is rounded to BIGINT
-    immediately (exact in double up to 2^53 ≈ 9e15 tokens) and the
-    permille rate is then pure integer arithmetic — the dsir_scores
-    quantization discipline. Plan shape = mixture_plan: one
-    partial-aggregated groupBy(stratum) over a two-column projection,
-    ≤|strata| output rows, then a bounded partition-less window for
-    the share normalizer.
+    Float boundary: pow() is quantized to integer micro-units
+    per-stratum BEFORE the normalizing sum (so the normalizer is an
+    exact BIGINT — no float-summation-order hazard, the dsir_scores
+    discipline); the wanted-token target is then one double ratio
+    rounded straight to BIGINT (exact up to 2^53 ≈ 9e15 tokens), and
+    the permille rate is pure integer arithmetic. Plan shape =
+    mixture_plan: one partial-aggregated groupBy(stratum) over a
+    two-column projection, ≤|strata| output rows, then a bounded
+    partition-less window for the normalizer.
     """
     w_all = Window.partitionBy()
     tots = (
@@ -987,24 +988,29 @@ def temperature_mixture_plan(
         .groupBy(stratum_col)
         .agg(F.sum("_nt").cast("bigint").alias("tok_total"))
     )
-    pw = F.pow(F.col("tok_total").cast("double"), F.lit(float(alpha)))
-    want = F.round(
-        F.lit(float(budget_tokens)) * pw / F.sum(pw).over(w_all)
-    ).cast("bigint")
-    return (
-        tots.withColumn("_want", want)
-        .select(
-            stratum_col,
-            "tok_total",
-            F.when(F.col("tok_total") == 0, F.lit(0).cast("bigint"))
-            .otherwise(
-                F.least(
-                    F.lit(1000).cast("bigint"),
-                    F.expr("(1000 * _want) div tok_total"),
-                )
-            )
-            .alias("rate_permille"),
+    pw_micro = (
+        F.round(
+            F.lit(1e6) * F.pow(F.col("tok_total").cast("double"), F.lit(float(alpha)))
         )
+        .cast("bigint")
+    )
+    want = F.round(
+        F.lit(float(budget_tokens))
+        * F.col("_pw")
+        / F.sum("_pw").over(w_all)
+    ).cast("bigint")
+    tots = tots.withColumn("_pw", pw_micro)
+    return tots.withColumn("_want", want).select(
+        stratum_col,
+        "tok_total",
+        F.when(F.col("tok_total") == 0, F.lit(0).cast("bigint"))
+        .otherwise(
+            F.least(
+                F.lit(1000).cast("bigint"),
+                F.expr("(1000 * _want) div tok_total"),
+            )
+        )
+        .alias("rate_permille"),
     )
 
 

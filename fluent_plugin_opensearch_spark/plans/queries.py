@@ -1902,6 +1902,55 @@ FROM plan p LEFT JOIN (
 ) k USING (source)"""
 
 
+def q_temperature_mixture(spark, sf_dir):
+    """Temperature (α=0.5) mixture profile: per-source corpus tokens,
+    the α-derived keep rate, and kept-set size/token/id checksums —
+    the multilingual-style rebalance toward small sources."""
+    docs = _docs(spark, sf_dir)
+    plan = CU.temperature_mixture_plan(docs, _MIX_BUDGET, alpha=0.5)
+    kept = CU.temperature_mixture_sample(docs, _MIX_BUDGET, alpha=0.5)
+    prof = kept.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_kept"),
+        F.sum(CU._n_tokens("text")).cast("bigint").alias("kept_tokens"),
+        F.sum("doc_id").cast("bigint").alias("id_sum"),
+    )
+    return plan.join(prof, "source", "left").select(
+        "source",
+        "tok_total",
+        F.col("rate_permille").cast("bigint").alias("rate_permille"),
+        F.coalesce("n_kept", F.lit(0)).cast("bigint").alias("n_kept"),
+        F.coalesce("kept_tokens", F.lit(0)).cast("bigint").alias("kept_tokens"),
+        F.coalesce("id_sum", F.lit(0)).cast("bigint").alias("id_sum"),
+    )
+
+
+O_TEMPERATURE_MIXTURE = f"""
+WITH tc AS (SELECT source, doc_id,
+        CAST(len(regexp_extract_all(text, '[A-Za-z]+|\\d+|[^\\sA-Za-z\\d]')) AS BIGINT) AS nt
+      FROM documents),
+tot AS (SELECT source, CAST(sum(nt) AS BIGINT) AS tok_total FROM tc GROUP BY source),
+pw AS (SELECT source, tok_total,
+        CAST(round(1000000.0 * pow(CAST(tok_total AS DOUBLE), 0.5)) AS BIGINT) AS pwm
+      FROM tot),
+z AS (SELECT CAST(sum(pwm) AS BIGINT) AS z FROM pw),
+plan AS (SELECT source, tok_total,
+        CASE WHEN tok_total = 0 THEN CAST(0 AS BIGINT)
+             ELSE least(CAST(1000 AS BIGINT),
+                  (1000 * CAST(round(CAST({_MIX_BUDGET} AS DOUBLE) * pwm / z) AS BIGINT))
+                    // tok_total)
+        END AS rate_permille
+      FROM pw, z),
+kept AS (SELECT t.source, t.doc_id, t.nt FROM tc t JOIN plan p USING (source)
+      WHERE ('0x' || substr(md5(concat('mix#0', CAST(t.doc_id AS STRING))), 1, 15))::BIGINT % 1000 < p.rate_permille)
+SELECT p.source, p.tok_total, CAST(p.rate_permille AS BIGINT) AS rate_permille,
+  CAST(coalesce(k.n, 0) AS BIGINT) AS n_kept,
+  CAST(coalesce(k.kt, 0) AS BIGINT) AS kept_tokens,
+  CAST(coalesce(k.ids, 0) AS BIGINT) AS id_sum
+FROM plan p LEFT JOIN (
+  SELECT source, count(*) AS n, sum(nt) AS kt, sum(doc_id) AS ids FROM kept GROUP BY source
+) k USING (source)"""
+
+
 def q_training_shards(spark, sf_dir):
     """Deterministic epoch-1 training order: shard + within-shard
     position for every doc (8 shards)."""
@@ -2321,6 +2370,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # recomputes the scores it ranks
     "url_blocklist": q_url_blocklist,  # oracle-checked at the local
     # gate; the 50-row window holds one anchor per operator family
+    "temperature_mixture": q_temperature_mixture,  # same note —
+    # mixture_sample anchors the mixture family in the window
     "duration_percentiles": q_duration_percentiles,  # rollup_cascade
     # covers the percentile/re-agg component
     "embedding_neardup": q_embedding_neardup,  # embedding_neardup_lsh_md5
@@ -2421,5 +2472,6 @@ ORACLES: dict[str, str] = {
     "dsir_topk_md5": O_DSIR_TOPK,
     "lm_ce_md5": O_LM_CE,
     "url_blocklist": O_URL_BLOCKLIST,
+    "temperature_mixture": O_TEMPERATURE_MIXTURE,
     "dedup_incremental_md5": O_DEDUP_INCR,
 }

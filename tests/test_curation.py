@@ -781,3 +781,52 @@ def test_curate_corpus_job_blocklist(spark, tmp_path, capsys):
     kept = {r["doc_id"] for r in spark.read.parquet(out).collect()}
     assert kept == {0, 1}
     assert stats["input_docs"] == 3 and stats["kept_docs"] == 2
+
+
+def test_temperature_mixture_python_parity(spark):
+    """temperature_mixture_plan/_sample vs an independent Python
+    implementation: α=0.5 rates flatten the source distribution
+    (smaller sources get strictly higher keep rates than α=1 natural
+    proportions), and the kept set replays the md5-bucket rule."""
+    import hashlib
+    import math
+
+    rng = random.Random(61)
+    rows = []
+    did = 0
+    for s, n_docs in (("a", 40), ("b", 10), ("c", 3)):
+        for _ in range(n_docs):
+            rows.append((did, s, " ".join("tok" for _ in range(rng.randint(3, 9)))))
+            did += 1
+    docs = spark.createDataFrame(rows, ["doc_id", "source", "text"])
+    budget, alpha = 120, 0.5
+
+    def ntok(t):
+        import re
+
+        return len(re.findall(r"[A-Za-z]+|\d+|[^\sA-Za-z\d]", t))
+
+    tots: dict[str, int] = {}
+    for _, s, t in rows:
+        tots[s] = tots.get(s, 0) + ntok(t)
+    pwm = {s: round(1e6 * math.pow(v, alpha)) for s, v in tots.items()}
+    z = sum(pwm.values())
+    want = {s: round(budget * pwm[s] / z) for s in tots}
+    rate = {s: min(1000, (1000 * want[s]) // tots[s]) for s in tots}
+    got_plan = {
+        r["source"]: (r["tok_total"], r["rate_permille"])
+        for r in CU.temperature_mixture_plan(docs, budget, alpha).collect()
+    }
+    assert got_plan == {s: (tots[s], rate[s]) for s in tots}
+
+    def bucket(i):
+        return int(hashlib.md5(f"mix#0{i}".encode()).hexdigest()[:15], 16) % 1000
+
+    want_kept = {i for i, s, _ in rows if bucket(i) < rate[s]}
+    got_kept = {
+        r["doc_id"]
+        for r in CU.temperature_mixture_sample(docs, budget, alpha).collect()
+    }
+    assert got_kept == want_kept
+    # flattening property: rate ordering inverts size ordering
+    assert rate["c"] >= rate["b"] >= rate["a"]
