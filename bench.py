@@ -84,22 +84,24 @@ def _sha256_probe(procs: int = 8, n_iter: int = 1_500_000) -> float:
     processes. Pure-Python+OS — no JVM — so round-over-round deltas in
     this number are MACHINE weather (noisy-neighbor steal), not code.
     Graders normalize query regressions against it (VERDICT r3 #3)."""
-    import hashlib
     import multiprocessing as mp
 
-    def burn(q) -> None:
-        t0 = time.time()
-        x = b"x"
-        for _ in range(n_iter):
-            x = hashlib.sha256(x).digest()
-        q.put(time.time() - t0)
-
-    q: mp.Queue = mp.Queue()
-    ps = [mp.Process(target=burn, args=(q,)) for _ in range(procs)]
+    ps = [mp.Process(target=_burn, args=(n_iter,)) for _ in range(procs)]
     t0 = time.time()
     [p.start() for p in ps]
     [p.join() for p in ps]
     return round(procs * n_iter / (time.time() - t0) / 1e6, 2)
+
+
+def _burn(n_iter: int) -> None:
+    """Child body for _sha256_probe — module-level so it pickles under
+    any multiprocessing start method (throughput is wall-clock-derived;
+    children report nothing back)."""
+    import hashlib
+
+    x = b"x"
+    for _ in range(n_iter):
+        x = hashlib.sha256(x).digest()
 
 
 def _machine_probe() -> dict:

@@ -680,9 +680,7 @@ def pack_sequences(
     so strata pack in parallel with no cross-stratum barrier.
     """
     strat = [stratum_col] if stratum_col else []
-    n_tok = F.size(
-        F.regexp_extract_all(F.col(text_col), F.lit(r"[A-Za-z]+|\d+|[^\sA-Za-z\d]"), F.lit(0))
-    ).cast("bigint")
+    n_tok = _n_tokens(text_col)
     blocked = docs.select(
         *strat,
         F.col(id_col),
@@ -713,6 +711,12 @@ def pack_sequences(
                 F.lit(0).cast("bigint"),
             ),
         )
+        # blk feeds BOTH sides of the offsets join (directly + via
+        # s_off); unpersisted, each side would re-run the full-corpus
+        # scan + local window that produced it (the CLAUDE.md
+        # join-rerun pattern). One row per block → caching is ~free
+        # (10M rows at 10¹² docs) and drops the corpus scans from 3 to 2.
+        .persist()
     )
 
     # level 3: one row per (stratum, superblock) — n_docs/block_size²
@@ -885,6 +889,31 @@ def _n_tokens(text_col: str):
     ).cast("bigint")
 
 
+def _apply_rate_plan(
+    docs: DataFrame,
+    plan: DataFrame,
+    stratum_col: str,
+    id_col: str,
+    salt: str,
+) -> DataFrame:
+    """Shared keep-filter for every permille-rate mixture plan:
+    broadcast the one-row-per-stratum rate table into an equi-join,
+    then keep a doc iff its md5 id bucket (0..999) falls below its
+    stratum's ``rate_permille``. One definition so the kept-set rule
+    (bucket count, salt handling, strictly-less comparison) cannot
+    diverge between plan flavors."""
+    return (
+        docs.join(
+            F.broadcast(plan.select(stratum_col, "rate_permille")),
+            on=stratum_col,
+            how="inner",
+        )
+        .withColumn("_bucket", _id_bucket(id_col, 1000, salt))
+        .filter(F.col("_bucket") < F.col("rate_permille"))
+        .drop("_bucket", "rate_permille")
+    )
+
+
 def mixture_plan(
     docs: DataFrame,
     weights_permille: dict[str, int],
@@ -946,16 +975,7 @@ def mixture_sample(
     unit of selection is the document, as in mixture training sets).
     """
     plan = mixture_plan(docs, weights_permille, budget_tokens, stratum_col, text_col)
-    return (
-        docs.join(
-            F.broadcast(plan.select(stratum_col, "rate_permille")),
-            on=stratum_col,
-            how="inner",
-        )
-        .withColumn("_bucket", _id_bucket(id_col, 1000, salt))
-        .filter(F.col("_bucket") < F.col("rate_permille"))
-        .drop("_bucket", "rate_permille")
-    )
+    return _apply_rate_plan(docs, plan, stratum_col, id_col, salt)
 
 
 def temperature_mixture_plan(
@@ -1027,16 +1047,7 @@ def temperature_mixture_sample(
     deterministic md5-bucket keep filter (the mixture_sample shape —
     corpus never shuffled, layout/engine-stable kept set)."""
     plan = temperature_mixture_plan(docs, budget_tokens, alpha, stratum_col, text_col)
-    return (
-        docs.join(
-            F.broadcast(plan.select(stratum_col, "rate_permille")),
-            on=stratum_col,
-            how="inner",
-        )
-        .withColumn("_bucket", _id_bucket(id_col, 1000, salt))
-        .filter(F.col("_bucket") < F.col("rate_permille"))
-        .drop("_bucket", "rate_permille")
-    )
+    return _apply_rate_plan(docs, plan, stratum_col, id_col, salt)
 
 
 def training_shards(

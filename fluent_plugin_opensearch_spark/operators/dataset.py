@@ -231,6 +231,8 @@ def dedup_incremental(
     hasher=None,
     bucket_by_values: bool = False,
     broadcast_new: bool = True,
+    existing_sigs: DataFrame | None = None,
+    cache_handle: list | None = None,
 ) -> DataFrame:
     """Incremental dedup: check a NEW ingest batch against an EXISTING
     corpus without re-deduplicating the corpus — the continuous-ingest
@@ -257,6 +259,16 @@ def dedup_incremental(
     guard is the same window count over the banded key as the
     self-join variant; candidate verification joins shingle sets for
     the candidate pairs only.
+
+    Caching contract: the signature frames are persisted for in-call
+    reuse (they feed both the banded buckets and the verify join).
+    Pass ``existing_sigs`` (= ``minhash_signatures(corpus, ...)``,
+    persisted or read from a table by the caller) to reuse the corpus
+    index across ingest batches instead of re-persisting it per call;
+    pass a list as ``cache_handle`` to receive every frame THIS call
+    persisted so a long-lived session can ``unpersist()`` them after
+    materializing the result — without it, repeated calls accumulate
+    cached signature tables in executor storage memory.
     """
     norm = F.md5(F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " "))
     new_ids = new_docs.select(F.col(id_col))
@@ -274,9 +286,16 @@ def dedup_incremental(
     sigs_n = minhash_signatures(
         new_docs, id_col, text_col, num_hashes, shingle_k, hasher
     ).persist()
-    sigs_e = minhash_signatures(
-        existing_docs, id_col, text_col, num_hashes, shingle_k, hasher
-    ).persist()
+    if cache_handle is not None:
+        cache_handle.append(sigs_n)
+    if existing_sigs is not None:
+        sigs_e = existing_sigs
+    else:
+        sigs_e = minhash_signatures(
+            existing_docs, id_col, text_col, num_hashes, shingle_k, hasher
+        ).persist()
+        if cache_handle is not None:
+            cache_handle.append(sigs_e)
     banded_n = _banded_buckets(sigs_n, id_col, num_hashes, bands, bucket_by_values)
     banded_e = (
         _banded_buckets(sigs_e, id_col, num_hashes, bands, bucket_by_values)
@@ -1194,6 +1213,8 @@ def lang_id_ngram(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text
 def token_count_bpe_ish(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Token counting: whitespace tokens + a BPE-ish regex count
     (runs of letters / digits / single punctuation), both exact ints."""
+    from .curation import _BPE_ISH  # single source for the token regex
+
     ws = F.size(F.split(F.trim(F.col(text_col)), r"\s+")).cast("bigint")
-    bpe = F.size(F.regexp_extract_all(F.col(text_col), F.lit(r"[A-Za-z]+|\d+|[^\sA-Za-z\d]"), F.lit(0))).cast("bigint")
+    bpe = F.size(F.regexp_extract_all(F.col(text_col), F.lit(_BPE_ISH), F.lit(0))).cast("bigint")
     return docs.select(F.col(id_col), ws.alias("n_ws_tokens"), bpe.alias("n_bpe_tokens"))

@@ -80,26 +80,38 @@ def main(argv: list[str]) -> None:
         )
 
     order = training_shards(docs, args.n_shards, epoch=args.epoch)
+    # Observation rides the write job itself — zero-kept detection
+    # costs no extra scan (vs a count() that would re-run the join).
+    from pyspark.sql import Observation
+
+    obs = Observation("shards_written")
     sharded = (
         docs.select("doc_id", "text", _n_tokens("text").alias("n_tokens"))
         .join(order, "doc_id", "inner")
+        .observe(obs, F.count(F.lit(1)).alias("n"))
         .repartition("shard")
         .sortWithinPartitions("shard", "pos")
     )
     sharded.write.mode("overwrite").partitionBy("shard").parquet(
         f"{args.output}/shards"
     )
+    n_written = int(obs.get["n"])
 
-    if args.pack_budget:
+    if args.pack_budget and n_written:
         pack_sequences(docs, budget=args.pack_budget).write.mode(
             "overwrite"
         ).parquet(f"{args.output}/packs")
 
-    out = spark.read.parquet(f"{args.output}/shards")
-    prof = out.groupBy("shard").agg(
-        F.count(F.lit(1)).alias("n"), F.sum("n_tokens").alias("tok")
-    )
-    sizes = [r["n"] for r in prof.collect()]
+    if n_written:
+        out = spark.read.parquet(f"{args.output}/shards")
+        prof = out.groupBy("shard").agg(
+            F.count(F.lit(1)).alias("n"), F.sum("n_tokens").alias("tok")
+        )
+        sizes = [r["n"] for r in prof.collect()]
+    else:
+        # an empty partitioned write leaves a _SUCCESS-only dir that
+        # spark.read.parquet cannot infer a schema from — don't try
+        sizes = []
     stats = {
         "input_docs": n_in,
         "kept_docs": int(sum(sizes)),
@@ -110,6 +122,14 @@ def main(argv: list[str]) -> None:
     }
     if plan_rows is not None:
         stats["mixture_plan"] = plan_rows
+        zero = [
+            r[args.stratum_col] for r in plan_rows
+            if r["rate_permille"] == 0 and weights.get(r[args.stratum_col], 0) > 0
+        ]
+        if zero:
+            # budget·weight < tok_total·1000⁻¹ rounds a stratum's keep
+            # rate to 0‰ — surface it; silence here looks like data loss
+            stats["zero_rate_strata"] = sorted(zero)
     print(json.dumps(stats))
 
 

@@ -51,6 +51,13 @@ def main(argv: list[str]) -> None:
                         "importance score vs this target distribution")
     p.add_argument("--dsir-keep", type=int, default=100_000)
     p.add_argument("--dsir-buckets", type=int, default=4096)
+    p.add_argument("--keep-cols", default=None,
+                   help="comma-separated columns to KEEP through a text "
+                        "mutation (--redact-pii / --paragraph-dedup) even "
+                        "though they are not recomputed; by default every "
+                        "column that is neither provenance (doc_id, source, "
+                        "url, domain) nor recomputed (n_chars, n_tokens, "
+                        "fingerprint) is dropped so nothing stale is written")
     args = p.parse_args(argv)
 
     from pyspark.sql import SparkSession
@@ -86,13 +93,17 @@ def main(argv: list[str]) -> None:
             deduped.select("doc_id", "text"), "doc_id", "inner"
         )
         text_mutated = True
+    dropped_stale: list[str] = []
     if text_mutated:
         # every text-DERIVED metadata column must be recomputed (or
         # dropped) after any text mutation (redaction / paragraph
         # strip), not just n_chars — a stale fingerprint/token count
         # would describe the pre-mutation text (ADVICE r3). Recompute
-        # the ones we know how to; drop the rest so nothing stale is
-        # ever written.
+        # the ones we know how to; DROP every other non-provenance
+        # column (we cannot know an arbitrary input column is NOT
+        # text-derived — lang, n_stopwords, quality scores, cached
+        # signatures all are). --keep-cols is the caller's assertion
+        # that a named column is text-independent.
         recompute = {
             "n_chars": F.length("text").cast("bigint"),
             "n_tokens": F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("bigint"),
@@ -101,15 +112,19 @@ def main(argv: list[str]) -> None:
                 F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
             ),
         }
+        provenance = {"doc_id", "text", "source", "url", "domain"}
+        keep_extra = {
+            c.strip() for c in (args.keep_cols or "").split(",") if c.strip()
+        }
         for c in docs.columns:
             if c in recompute:
                 docs = docs.withColumn(c, recompute[c])
-        stale = [
+        dropped_stale = [
             c for c in docs.columns
-            if c not in recompute and c.startswith(("minhash", "simhash", "ngram"))
+            if c not in recompute and c not in provenance and c not in keep_extra
         ]
-        if stale:
-            docs = docs.drop(*stale)
+        if dropped_stale:
+            docs = docs.drop(*dropped_stale)
     bench = spark.read.parquet(args.bench) if args.bench else None
     kept_ids = curate_corpus(
         docs,
@@ -137,7 +152,10 @@ def main(argv: list[str]) -> None:
         curated = curated.join(keep, "doc_id", "left_semi")
     curated.write.mode("overwrite").parquet(args.output)
     n_out = spark.read.parquet(args.output).count()
-    print(json.dumps({"input_docs": n_in, "kept_docs": n_out, "dropped": n_in - n_out}))
+    stats = {"input_docs": n_in, "kept_docs": n_out, "dropped": n_in - n_out}
+    if dropped_stale:
+        stats["dropped_stale_cols"] = sorted(dropped_stale)
+    print(json.dumps(stats))
 
 
 if __name__ == "__main__":

@@ -830,3 +830,70 @@ def test_temperature_mixture_python_parity(spark):
     assert got_kept == want_kept
     # flattening property: rate ordering inverts size ordering
     assert rate["c"] >= rate["b"] >= rate["a"]
+
+
+def test_build_training_set_job_zero_kept(spark, tmp_path, capsys):
+    """A budget small enough that every stratum's keep rate rounds to
+    0‰ must exit cleanly with kept_docs=0 (an empty partitioned write
+    leaves a _SUCCESS-only dir that cannot be read back) and surface
+    the starved strata in zero_rate_strata."""
+    import json
+
+    from jobs.build_training_set import main as job_main
+
+    inp, out = str(tmp_path / "in"), str(tmp_path / "zts")
+    rows = [(i, "a", " ".join("tok" for _ in range(10))) for i in range(5)]
+    spark.createDataFrame(rows, ["doc_id", "source", "text"]).write.parquet(inp)
+    # tok_total=50; rate = (budget=1 * weight=10) div 50 = 0
+    job_main([
+        "--input", inp, "--output", out,
+        "--weights", json.dumps({"a": 10}), "--budget-tokens", "1",
+        "--n-shards", "4", "--pack-budget", "64",
+    ])
+    stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert stats["kept_docs"] == 0
+    assert stats["n_shards_written"] == 0
+    assert stats["zero_rate_strata"] == ["a"]
+
+
+def test_curate_corpus_job_stale_col_policy(spark, tmp_path, capsys):
+    """After a text mutation the job must not write ANY non-recomputed
+    text-derived column: unknown columns (lang, quality) are dropped
+    and reported; --keep-cols is the caller's text-independence
+    assertion and retains the named column."""
+    import json
+
+    from jobs.curate_corpus import main as job_main
+
+    rows = [
+        (0, "alpha beta gamma delta epsilon contact me a@b.com today ok", "en", 0.9, 1),
+        (1, "one two three four five six seven eight nine ten done", "fr", 0.5, 2),
+    ]
+    inp = str(tmp_path / "in")
+    spark.createDataFrame(
+        rows, ["doc_id", "text", "lang", "quality", "n_chars"]
+    ).write.parquet(inp)
+
+    out1 = str(tmp_path / "out1")
+    job_main([
+        "--input", inp, "--output", out1, "--redact-pii",
+        "--min-tokens", "2", "--min-chars", "10",
+    ])
+    stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    got = spark.read.parquet(out1)
+    assert set(got.columns) == {"doc_id", "text", "n_chars"}
+    assert stats["dropped_stale_cols"] == ["lang", "quality"]
+    # n_chars recomputed against the REDACTED text, not the stale input
+    for r in got.collect():
+        assert r["n_chars"] == len(r["text"])
+        assert "a@b.com" not in r["text"]
+
+    out2 = str(tmp_path / "out2")
+    job_main([
+        "--input", inp, "--output", out2, "--redact-pii",
+        "--min-tokens", "2", "--min-chars", "10", "--keep-cols", "lang",
+    ])
+    stats2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    got2 = spark.read.parquet(out2)
+    assert set(got2.columns) == {"doc_id", "text", "n_chars", "lang"}
+    assert stats2["dropped_stale_cols"] == ["quality"]

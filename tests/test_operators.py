@@ -611,3 +611,38 @@ def test_winnow_posting_guard(spark):
     guarded = DS.winnow_pairs(df, min_shared=1, max_postings=5).count()
     assert open_pairs == 12 * 11 // 2
     assert guarded == 0
+
+
+def test_dedup_incremental_index_reuse(spark):
+    """Passing a precomputed existing-side signature frame
+    (``existing_sigs`` — the cross-batch incremental index) must
+    reproduce the default path exactly, and ``cache_handle`` must
+    receive only the frames THIS call persisted (the new-batch
+    signatures) so a long-lived ingest loop can unpersist them."""
+    existing = spark.createDataFrame(
+        [(0, "alpha bravo charlie delta echo foxtrot golf hotel india juliet"),
+         (1, "completely different content about spark physical plans here")],
+        ["doc_id", "text"],
+    )
+    new = spark.createDataFrame(
+        [(10, "alpha bravo charlie delta echo foxtrot golf hotel india juliet"),
+         (13, "utterly novel sentence with entirely unique vocabulary tokens")],
+        ["doc_id", "text"],
+    )
+    kw = dict(num_hashes=8, bands=4, min_jaccard=0.2,
+              hasher=DS._md5_hasher, bucket_by_values=True)
+    want = {r["doc_id"]: (r["exact_dup"], r["n_near"], r["kept"])
+            for r in DS.dedup_incremental(new, existing, **kw).collect()}
+
+    sigs_e = DS.minhash_signatures(existing, "doc_id", "text", 8, 3,
+                                   DS._md5_hasher).persist()
+    handle: list = []
+    got = {r["doc_id"]: (r["exact_dup"], r["n_near"], r["kept"])
+           for r in DS.dedup_incremental(
+               new, existing, existing_sigs=sigs_e, cache_handle=handle, **kw
+           ).collect()}
+    assert got == want
+    assert len(handle) == 1  # only the new-batch signatures
+    for df in handle:
+        df.unpersist()
+    sigs_e.unpersist()

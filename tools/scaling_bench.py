@@ -257,14 +257,19 @@ untimed passes), best of 3 steady-state passes;
         rest = existing[nxt:] if nxt != -1 else ""
     content = base + md + rest
     if clean:
+        head_md = (
+            f"\n## Headline scaling evidence (promoted {stamp})\n"
+            + md.split("\n", 3)[3]  # body of the latest-run section
+        )
         hcut = content.find("\n## Headline scaling evidence")
         if hcut != -1:
             hnxt = content.find("\n## ", hcut + 1)
-            head_md = (
-                f"\n## Headline scaling evidence (promoted {stamp})\n"
-                + md.split("\n", 3)[3]  # body of the latest-run section
-            )
             content = content[:hcut] + head_md + (content[hnxt:] if hnxt != -1 else "")
+        else:
+            # first clean run on a fresh file: CREATE the headline
+            # section (previously a silent no-op while the banner
+            # still claimed promotion)
+            content = content.rstrip("\n") + "\n" + head_md
     with open(path, "w") as f:
         f.write(content)
     print(f"wrote {path}")
