@@ -640,6 +640,132 @@ def winnow_pairs(
     )
 
 
+def duplicate_spans(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 16,
+    hasher=None,
+) -> DataFrame:
+    """Exact duplicated-substring spans (the ExactSubstr dedup of Lee
+    et al., "Deduplicating Training Data Makes Language Models Better",
+    ACL 2022, re-expressed at token-window granularity): any run of
+    ``window`` consecutive tokens that occurs more than once in the
+    corpus is a duplicate; for each duplicated window exactly ONE
+    occurrence — the globally smallest (id, pos) — is the keeper, and
+    every other occurrence is marked. Marked windows overlapping or
+    touching within a doc merge into maximal spans (gaps-and-islands),
+    so the output is the minimal span manifest a strip pass needs.
+
+    Scale shape: positional ``window``-token shingles (map-side
+    explode, the winnowing machinery) → ONE exchange on the window
+    hash where a sort-free ``min(struct(id, pos))`` window aggregate
+    elects the keeper (a hyper-common boilerplate window is a large
+    hash partition, but the pass over it is linear — no self-join, so
+    no mega-bucket blowup) → one exchange on ``id_col`` for the span
+    merge. No UDFs; the md5 ``hasher`` twin reproduces the whole chain
+    in DuckDB (full-chain oracle).
+
+    Returns (id, span_start, span_end, n_dup_windows): token-index
+    spans, ``span_end`` exclusive, disjoint and non-adjacent per doc.
+    """
+    hasher = hasher or (lambda c, seed: F.xxhash64(c, F.lit(seed)))
+    rows = _positional_shingles(docs, id_col, text_col, window).select(
+        F.col(id_col),
+        F.col("pos").cast("bigint").alias("pos"),
+        hasher(F.col("shingle"), 0).alias("h"),
+    )
+    keeper = F.min(F.struct(F.col(id_col).alias("i"), F.col("pos").alias("p"))).over(
+        Window.partitionBy("h")
+    )
+    dup = (
+        rows.withColumn("_k", keeper)
+        .filter(~((F.col("_k.i") == F.col(id_col)) & (F.col("_k.p") == F.col("pos"))))
+        .select(id_col, "pos")
+    )
+    wd = Window.partitionBy(id_col).orderBy("pos")
+    prev_end = F.max(F.col("pos") + window).over(
+        wd.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = dup.select(
+        F.col(id_col),
+        F.col("pos"),
+        F.when(prev_end.isNull() | (F.col("pos") > prev_end), 1)
+        .otherwise(0)
+        .alias("_new"),
+    )
+    return (
+        flagged.withColumn(
+            "_sid", F.sum("_new").over(wd.rowsBetween(Window.unboundedPreceding, 0))
+        )
+        .groupBy(id_col, "_sid")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + window).cast("bigint").alias("span_end"),
+            F.count(F.lit(1)).cast("bigint").alias("n_dup_windows"),
+        )
+        .drop("_sid")
+    )
+
+
+def strip_duplicate_spans(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 16,
+    hasher=None,
+    spans: DataFrame | None = None,
+) -> DataFrame:
+    """Rebuild each doc's text with its duplicated spans removed —
+    keep-first ExactSubstr dedup: the keeper occurrence (globally
+    smallest (id, pos) per window, see ``duplicate_spans``) retains
+    its text; every other occurrence's maximal span is cut at token
+    granularity. Pass a precomputed ``spans`` frame to reuse a
+    manifest across passes.
+
+    Shape: span manifest → per-doc ``collect_list`` (spans per doc are
+    few and disjoint) → broadcast-eligible doc-keyed LEFT join back to
+    the corpus → higher-order filter over the token array (index-aware
+    lambda + ``exists`` over the span array; JVM-side, no UDF).
+    Rebuilding joins kept tokens with single spaces — intra-doc
+    whitespace runs are normalized, the same contract as
+    ``paragraph_dedup`` reassembly.
+
+    Returns the input columns with ``text_col`` rewritten plus
+    ``n_removed_tokens`` (0 for untouched docs).
+    """
+    if spans is None:
+        spans = duplicate_spans(docs, id_col, text_col, window, hasher)
+    sp = spans.groupBy(id_col).agg(
+        F.collect_list(F.struct("span_start", "span_end")).alias("_spans"),
+        F.sum(F.col("span_end") - F.col("span_start")).alias("_n_cut"),
+    )
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    kept = F.filter(
+        toks,
+        lambda t, i: ~F.exists(
+            F.col("_spans"),
+            lambda s: (i.cast("bigint") >= s["span_start"])
+            & (i.cast("bigint") < s["span_end"]),
+        ),
+    )
+    out_cols = docs.columns
+    return (
+        docs.join(sp, on=id_col, how="left")
+        .withColumn(
+            text_col,
+            F.when(F.col("_spans").isNull(), F.col(text_col)).otherwise(
+                F.array_join(kept, " ")
+            ),
+        )
+        .withColumn(
+            "n_removed_tokens",
+            F.coalesce(F.col("_n_cut"), F.lit(0)).cast("bigint"),
+        )
+        .select(*out_cols, "n_removed_tokens")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Similarity search (ANN over embeddings)
 # ---------------------------------------------------------------------------

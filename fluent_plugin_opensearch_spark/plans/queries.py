@@ -1203,6 +1203,107 @@ def q_winnow_pairs(spark, sf_dir):
     return DS.winnow_pairs(_docs(spark, sf_dir))
 
 
+def _dup_spans_md5_sql_ctes(w: int = 16) -> str:
+    """Shared CTE block: documents → positional word ``w``-grams → md5
+    window hashes → sort-free keeper election (global min (id, pos)
+    per hash) → per-doc gaps-and-islands span merge (mirrors
+    duplicate_spans(hasher=_md5_hasher))."""
+    gram = " || ' ' || ".join(f"t[i+{j + 1}]" for j in range(w))
+    return rf"""toks AS (
+  SELECT doc_id, text, string_split_regex(trim(text), '\s+') AS t FROM documents
+  WHERE text IS NOT NULL),
+g AS (
+  SELECT doc_id, list_transform(range(len(t) - {w - 1}), i -> {gram}) AS grams
+  FROM toks WHERE len(t) >= {w}),
+h AS (
+  SELECT doc_id, CAST(p AS BIGINT) AS pos,
+    ('0x' || substr(md5(grams[CAST(p + 1 AS INT)] || '#0'), 1, 15))::BIGINT AS h
+  FROM g, unnest(range(0, len(grams))) AS u(p)),
+k AS (
+  SELECT doc_id, pos,
+    min(struct_pack(i := doc_id, p := pos)) OVER (PARTITION BY h) AS kp
+  FROM h),
+d AS (SELECT doc_id, pos FROM k WHERE NOT (kp.i = doc_id AND kp.p = pos)),
+isl AS (
+  SELECT doc_id, pos,
+    CASE WHEN pe IS NULL OR pos > pe THEN 1 ELSE 0 END AS nw
+  FROM (SELECT doc_id, pos,
+          max(pos + {w}) OVER (PARTITION BY doc_id ORDER BY pos
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pe
+        FROM d)),
+spans AS (
+  SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
+    CAST(max(pos) + {w} AS BIGINT) AS span_end,
+    CAST(count(*) AS BIGINT) AS n_dup_windows
+  FROM (SELECT doc_id, pos,
+          sum(nw) OVER (PARTITION BY doc_id ORDER BY pos) AS sid
+        FROM isl)
+  GROUP BY doc_id, sid)"""
+
+
+O_DUP_SPANS_MD5 = (
+    "WITH "
+    + _dup_spans_md5_sql_ctes()
+    + "\nSELECT doc_id, span_start, span_end, n_dup_windows FROM spans"
+)
+
+O_STRIP_DUP_SPANS_MD5 = (
+    "WITH "
+    + _dup_spans_md5_sql_ctes()
+    + """,
+agg AS (
+  SELECT doc_id, list(struct_pack(a := span_start, b := span_end)) AS sp,
+    CAST(sum(span_end - span_start) AS BIGINT) AS n_cut
+  FROM spans GROUP BY doc_id)
+SELECT t.doc_id,
+  md5(CASE WHEN a.sp IS NULL THEN t.text
+      -- COALESCE: DuckDB array_to_string([]) is NULL, Spark
+      -- array_join([]) is '' (a fully-duplicated doc strips to empty)
+      ELSE COALESCE(array_to_string(
+        list_filter(
+          list_transform(range(len(t.t)),
+            i -> CASE WHEN len(list_filter(a.sp,
+                   s -> i >= s.a AND i < s.b)) = 0
+                 THEN t.t[CAST(i + 1 AS INT)] END),
+          x -> x IS NOT NULL), ' '), '')
+      END) AS text_fp,
+  COALESCE(a.n_cut, 0) AS n_removed_tokens
+FROM toks t LEFT JOIN agg a ON t.doc_id = a.doc_id"""
+)
+
+
+def q_dup_spans_md5(spark, sf_dir):
+    """Exact duplicated-substring span manifest (ExactSubstr dedup, Lee
+    et al. 2022, at 16-token-window granularity), engine-portable twin:
+    md5 window hashing so DuckDB reproduces the whole chain (positional
+    grams → sort-free keeper election → gaps-and-islands merge)
+    value-for-value. ``duplicate_spans`` default (xxhash64) is the
+    production variant — same plan shape."""
+    return DS.duplicate_spans(_docs(spark, sf_dir), window=16, hasher=DS._md5_hasher)
+
+
+def q_strip_dup_spans_md5(spark, sf_dir):
+    """Keep-first ExactSubstr strip (md5 twin): every non-keeper
+    duplicated span cut at token granularity, untouched docs byte-
+    identical — compared by text md5 so the full rebuild path
+    (higher-order index filter + reassembly) is oracle-checked."""
+    out = DS.strip_duplicate_spans(
+        _docs(spark, sf_dir), window=16, hasher=DS._md5_hasher
+    )
+    return out.select(
+        "doc_id",
+        F.md5("text").alias("text_fp"),
+        F.col("n_removed_tokens"),
+    )
+
+
+def q_dup_spans(spark, sf_dir):
+    """Production duplicated-span manifest (xxhash64 window hashes) —
+    rows-only: same chain as dup_spans_md5 with the engine-native
+    hash."""
+    return DS.duplicate_spans(_docs(spark, sf_dir), window=16)
+
+
 def q_simhash_neardup_md5(spark, sf_dir):
     """SimHash banded near-dup, engine-portable twin: 32-bit md5
     simhash, 4 bands of 8 bits, max_hamming = n_bands − 1 = 3 → the
@@ -2295,10 +2396,10 @@ WHERE d.doc_id % 10 >= 8"""
 # span SURVEY §2 + the curation family; positions 50+ hold (a) 15
 # oracle-checked-but-redundant queries already recorded green in r3
 # (each has a retained sibling covering the same operator) and (b) the
-# 7 rows-only variants. Keys and semantics are unchanged across rounds.
+# 10 rows-only variants. Keys and semantics are unchanged across rounds.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "route_logstash_counts": q_route_logstash_counts,
-    "route_target_index_override": q_route_target_index_override,
+    "dup_spans_md5": q_dup_spans_md5,
     "time_key_parse": q_time_key_parse,
     "timestamp_precedence": q_timestamp_precedence,
     "parse_extract": q_parse_extract,
@@ -2354,6 +2455,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # recorded green in CORRECTNESS_r03 (retained sibling noted per
     # line), then the rows-only variants ---
     "timestamp_iso": q_timestamp_iso,  # timestamp_precedence subsumes
+    "route_target_index_override": q_route_target_index_override,  # r2+r3
+    # recorded green; route_logstash_counts covers R2 resolution
+    "strip_dup_spans_md5": q_strip_dup_spans_md5,  # dup_spans_md5 covers
+    # the span manifest; this full-chain-checks the rebuild path
     "genid_md5": _genid_q("md5"),  # genid_sha256 covers the seed surface
     "enrich_tool_miss": q_enrich_tool_miss,  # enrich_role_counts covers J3
     "affinity_e2e": q_affinity_e2e,  # affinity_routing covers R5/J1
@@ -2397,6 +2502,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_incremental": q_dedup_incremental,
     "winnow_pairs": q_winnow_pairs,
     "lm_ce": q_lm_ce,
+    "dup_spans": q_dup_spans,
 }
 
 ORACLES: dict[str, str] = {
@@ -2445,6 +2551,8 @@ ORACLES: dict[str, str] = {
     "minhash_md5_pairs": O_MINHASH_MD5,
     "winnow_md5": O_WINNOW_MD5,
     "winnow_pairs_md5": O_WINNOW_PAIRS_MD5,
+    "dup_spans_md5": O_DUP_SPANS_MD5,
+    "strip_dup_spans_md5": O_STRIP_DUP_SPANS_MD5,
     "simhash_neardup_md5": O_SIMHASH_NEARDUP_MD5,
     "ngram_jaccard": O_NGRAM_JACCARD,
     "ivf_topk_md5": O_IVF_TOPK_MD5,

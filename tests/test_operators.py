@@ -646,3 +646,107 @@ def test_dedup_incremental_index_reuse(spark):
     for df in handle:
         df.unpersist()
     sigs_e.unpersist()
+
+
+def _py_dup_spans(rows, w):
+    """Independent Python ExactSubstr-span oracle: keeper = globally
+    smallest (id, pos) per duplicated w-token window; per-doc marked
+    windows merge when overlapping or adjacent (pos <= prev span end)."""
+    occ = {}
+    for did, text in rows:
+        toks = text.split()
+        for p in range(len(toks) - w + 1):
+            occ.setdefault(tuple(toks[p : p + w]), []).append((did, p))
+    by_doc = {}
+    for v in occ.values():
+        keeper = min(v)
+        for o in v:
+            if o != keeper:
+                by_doc.setdefault(o[0], []).append(o[1])
+    spans = {}
+    for did, ps in by_doc.items():
+        out = []
+        for p in sorted(ps):
+            if out and p <= out[-1][1]:
+                out[-1][1] = max(out[-1][1], p + w)
+                out[-1][2] += 1
+            else:
+                out.append([p, p + w, 1])
+        spans[did] = [tuple(x) for x in out]
+    return spans
+
+
+def test_duplicate_spans_planted(spark):
+    """Cross-doc shared run -> one merged span on the non-keeper doc;
+    within-doc repetition -> keeper occurrences stay, repeats merge;
+    span_end is exclusive; disjoint spans never merge."""
+    rows = [
+        (0, "a b c d e f"),
+        (1, "x a b c d y"),
+        (2, "p q r p q r p q r"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        (r["doc_id"], r["span_start"], r["span_end"], r["n_dup_windows"])
+        for r in DS.duplicate_spans(df, window=3).collect()
+    }
+    # doc 1: windows at pos 1 ("a b c") and 2 ("b c d") both lose to
+    # doc 0 -> merged span [1, 5); doc 2: "p q r"/"q r p"/"r p q" all
+    # keep their first occurrence (pos 0/1/2), repeats at 3..6 merge
+    # into [3, 9)
+    assert got == {(1, 1, 5, 2), (2, 3, 9, 4)}
+
+
+def test_strip_duplicate_spans_planted(spark):
+    rows = [
+        (0, "a b c d e f"),
+        (1, "x a b c d y"),
+        (2, "p q r p q r p q r"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        r["doc_id"]: (r["text"], r["n_removed_tokens"])
+        for r in DS.strip_duplicate_spans(df, window=3).collect()
+    }
+    assert got == {
+        0: ("a b c d e f", 0),  # keeper doc untouched
+        1: ("x y", 4),
+        2: ("p q r", 6),
+    }
+
+
+def test_duplicate_spans_random_parity(spark):
+    """Random small-vocab corpora vs the independent Python oracle —
+    spans AND strip reassembly must match exactly."""
+    import random
+
+    rng = random.Random(20260817)
+    vocab = list("abcde")
+    rows = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(4, 20))))
+        for i in range(40)
+    ]
+    w = 3
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    want = _py_dup_spans(rows, w)
+    got: dict = {}
+    for r in DS.duplicate_spans(df, window=w).collect():
+        got.setdefault(r["doc_id"], []).append(
+            (r["span_start"], r["span_end"], r["n_dup_windows"])
+        )
+    assert {k: sorted(v) for k, v in got.items()} == {
+        k: sorted(v) for k, v in want.items()
+    }
+
+    stripped = {
+        r["doc_id"]: (r["text"], r["n_removed_tokens"])
+        for r in DS.strip_duplicate_spans(df, window=w).collect()
+    }
+    for did, text in rows:
+        spans = want.get(did, [])
+        toks = text.split()
+        kept = [
+            t for i, t in enumerate(toks)
+            if not any(s <= i < e for s, e, _ in spans)
+        ]
+        assert stripped[did] == (" ".join(kept), sum(e - s for s, e, _ in spans))

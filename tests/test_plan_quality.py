@@ -335,3 +335,37 @@ def test_url_blocklist_join_is_broadcast_no_python(spark):
         r"\(\d+\) SortMergeJoin.*?Left keys \[\d+\]: \[(\w+)", plan, re.S
     )
     assert all(k.startswith("doc_id") for k in smj_keys), smj_keys
+
+
+def test_duplicate_spans_two_exchanges_no_python(spark):
+    """ExactSubstr span manifest: exactly TWO hash exchanges — one on
+    the window hash (sort-free keeper election: the min(struct) window
+    has no ORDER BY, so no per-hash sort) and one on doc_id that BOTH
+    the island windows and the final span aggregate reuse (hash-
+    partitioning on doc_id satisfies the (doc_id, _sid) grouping).
+    Whole chain JVM-side; no join anywhere (keeper election is a
+    window, not a self-join — no mega-bucket blowup possible)."""
+    import re
+
+    from fluent_plugin_opensearch_spark.operators import dataset as DS
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    plan = _plan(DS.duplicate_spans(docs, window=16))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # formatted explain numbers nodes: hash shuffles print "(n) Exchange"
+    # (the _ensure_parallelism round-robin is a third, data-size-gated)
+    hashx = [m for m in re.findall(r"\(\d+\) Exchange\b", plan)]
+    assert len(hashx) <= 3 and "hashpartitioning(h" in plan
+    assert "hashpartitioning(doc_id" in plan
+    assert "Join" not in plan
+
+
+def test_strip_duplicate_spans_no_python(spark):
+    """Strip pass: the span manifest joins back doc-keyed (AQE
+    broadcasts the tiny side at runtime); the token-array rebuild is a
+    higher-order filter — JVM-side, never a Python UDF."""
+    from fluent_plugin_opensearch_spark.operators import dataset as DS
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    plan = _plan(DS.strip_duplicate_spans(docs, window=16))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
