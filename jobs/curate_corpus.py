@@ -1,8 +1,8 @@
 """Training-data corpus curation job: [domain blocklist →]
-[PII redaction →] [paragraph dedup →] quality gate → exact dedup →
-MinHash near-dup dedup (keep one doc per cluster) [→ benchmark
-decontamination] [→ DSIR target-domain top-k selection], writing the
-curated corpus + a stats line. The
+[PII redaction →] [paragraph dedup →] [ExactSubstr span strip →]
+quality gate → exact dedup → MinHash near-dup dedup (keep one doc per
+cluster) [→ benchmark decontamination] [→ DSIR target-domain top-k
+selection], writing the curated corpus + a stats line. The
 batch-mode composition of the dataset/curation operators
 (operators/dataset.py:curate_corpus, operators/curation.py).
 
@@ -42,6 +42,10 @@ def main(argv: list[str]) -> None:
                         "occurrence) before the quality gate")
     p.add_argument("--paragraph-sep", default="\n",
                    help="paragraph separator for --paragraph-dedup")
+    p.add_argument("--strip-dup-spans", type=int, default=0, metavar="W",
+                   help="ExactSubstr dedup: cut every duplicated run of W "
+                        "consecutive tokens except its first corpus occurrence "
+                        "(0 = off; 50 is the Lee et al. 2022 setting)")
     p.add_argument("--bench", default=None,
                    help="benchmark parquet (bench_id, text) for decontamination")
     p.add_argument("--contamination-n", type=int, default=8)
@@ -53,7 +57,8 @@ def main(argv: list[str]) -> None:
     p.add_argument("--dsir-buckets", type=int, default=4096)
     p.add_argument("--keep-cols", default=None,
                    help="comma-separated columns to KEEP through a text "
-                        "mutation (--redact-pii / --paragraph-dedup) even "
+                        "mutation (--redact-pii / --paragraph-dedup / "
+                        "--strip-dup-spans) even "
                         "though they are not recomputed; by default every "
                         "column that is neither provenance (doc_id, source, "
                         "url, domain) nor recomputed (n_chars, n_tokens, "
@@ -69,7 +74,10 @@ def main(argv: list[str]) -> None:
         paragraph_dedup,
         redact_text,
     )
-    from fluent_plugin_opensearch_spark.operators.dataset import curate_corpus
+    from fluent_plugin_opensearch_spark.operators.dataset import (
+        curate_corpus,
+        strip_duplicate_spans,
+    )
 
     spark = SparkSession.builder.appName("curate-corpus").getOrCreate()
     docs = spark.read.parquet(args.input)
@@ -91,6 +99,16 @@ def main(argv: list[str]) -> None:
         deduped = paragraph_dedup(docs, sep=args.paragraph_sep)
         docs = docs.drop("text").join(
             deduped.select("doc_id", "text"), "doc_id", "inner"
+        )
+        text_mutated = True
+    if args.strip_dup_spans:
+        # ExactSubstr pass AFTER paragraph dedup (paragraphs catch the
+        # structured boilerplate cheaply; the window pass catches
+        # duplicated runs that cross paragraph boundaries or never
+        # align to separators) and BEFORE the quality gate, so a doc
+        # that is mostly copied text is judged on what remains
+        docs = strip_duplicate_spans(docs, window=args.strip_dup_spans).drop(
+            "n_removed_tokens"
         )
         text_mutated = True
     dropped_stale: list[str] = []

@@ -897,3 +897,32 @@ def test_curate_corpus_job_stale_col_policy(spark, tmp_path, capsys):
     got2 = spark.read.parquet(out2)
     assert set(got2.columns) == {"doc_id", "text", "n_chars", "lang"}
     assert stats2["dropped_stale_cols"] == ["quality"]
+
+
+def test_curate_corpus_job_strip_dup_spans(spark, tmp_path, capsys):
+    """--strip-dup-spans W cuts every non-first duplicated W-token run
+    before the quality gate; the copied run survives only in the
+    first-occurrence doc, and the mutation triggers the stale-column
+    drop policy."""
+    import json
+
+    from jobs.curate_corpus import main as job_main
+
+    shared = " ".join(f"s{i}" for i in range(6))
+    uniq_a = " ".join(f"a{i}" for i in range(20))
+    uniq_b = " ".join(f"b{i}" for i in range(20))
+    rows = [
+        (0, f"{shared} {uniq_a}", "en"),
+        (1, f"{uniq_b} {shared}", "fr"),
+    ]
+    inp, out = str(tmp_path / "in"), str(tmp_path / "out")
+    spark.createDataFrame(rows, ["doc_id", "text", "lang"]).write.parquet(inp)
+    job_main([
+        "--input", inp, "--output", out, "--strip-dup-spans", "6",
+        "--min-tokens", "5", "--min-chars", "10", "--min-jaccard", "0.9",
+    ])
+    stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    got = {r["doc_id"]: r["text"] for r in spark.read.parquet(out).collect()}
+    assert got[0] == f"{shared} {uniq_a}"   # keeper occurrence intact
+    assert got[1] == uniq_b                 # copied run cut
+    assert stats["dropped_stale_cols"] == ["lang"]
