@@ -28,6 +28,14 @@ def _ensure_parallelism(df: DataFrame, min_parts: int | None = None) -> DataFram
 # Deduplication
 # ---------------------------------------------------------------------------
 
+def normalized_fp(text_col: str):
+    """md5 over whitespace-normalized lowercase text — THE exact-dup
+    fingerprint (``fingerprint``, ``dedup_incremental``, the ingest
+    index all share this one definition so stored fingerprints stay
+    comparable across operators and engine versions)."""
+    return F.md5(F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " "))
+
+
 def exact_dedup_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Exact dedup via content hash: one aggregation, map-side partial.
     At scale this is a single shuffle on a 128-bit hash — the cheapest
@@ -53,8 +61,7 @@ def dedup_keep_first(docs: DataFrame, id_col: str = "doc_id", text_col: str = "t
 def fingerprint(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Document fingerprint: md5 over whitespace-normalized lowercase
     text (the cheap rolling-hash analog; stable across runs/engines)."""
-    norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
-    return docs.select(F.col(id_col), F.md5(norm).alias("fingerprint"))
+    return docs.select(F.col(id_col), normalized_fp(text_col).alias("fingerprint"))
 
 
 def _shingles(text_col: str, k: int = 3):
@@ -220,7 +227,7 @@ def minhash_lsh_pairs(
 
 def dedup_incremental(
     new_docs: DataFrame,
-    existing_docs: DataFrame,
+    existing_docs: DataFrame | None,
     id_col: str = "doc_id",
     text_col: str = "text",
     num_hashes: int = 32,
@@ -232,6 +239,7 @@ def dedup_incremental(
     bucket_by_values: bool = False,
     broadcast_new: bool = True,
     existing_sigs: DataFrame | None = None,
+    existing_fps: DataFrame | None = None,
     cache_handle: list | None = None,
 ) -> DataFrame:
     """Incremental dedup: check a NEW ingest batch against an EXISTING
@@ -269,16 +277,27 @@ def dedup_incremental(
     persisted so a long-lived session can ``unpersist()`` them after
     materializing the result — without it, repeated calls accumulate
     cached signature tables in executor storage memory.
+
+    With BOTH ``existing_sigs`` and ``existing_fps`` (a frame with an
+    ``_fp`` column of ``normalized_fp`` values, e.g. the stored ingest
+    index), the existing corpus TEXT is never read: the per-batch cost
+    is one scan of the index only — pass ``existing_docs=None``. This
+    is the continuous-ingest fast path (``streaming.ingest_dedup_stream``).
     """
-    norm = F.md5(F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " "))
+    if existing_docs is None and (existing_sigs is None or existing_fps is None):
+        raise ValueError(
+            "existing_docs=None requires both existing_sigs and existing_fps"
+        )
+    norm = normalized_fp(text_col)
     new_ids = new_docs.select(F.col(id_col))
+    ex_fp = (
+        existing_fps.select(F.col("_fp"))
+        if existing_fps is not None
+        else existing_docs.select(norm.alias("_fp"))
+    )
     exact = (
         new_docs.select(F.col(id_col), norm.alias("_fp"))
-        .join(
-            existing_docs.select(norm.alias("_fp")).dropDuplicates(["_fp"]),
-            "_fp",
-            "left_semi",
-        )
+        .join(ex_fp.dropDuplicates(["_fp"]), "_fp", "left_semi")
         .select(id_col)
         .withColumn("_exact", F.lit(1))
     )

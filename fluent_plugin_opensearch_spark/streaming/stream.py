@@ -443,3 +443,149 @@ def windowed_sink_counts(
         )
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+def ingest_dedup_stream(
+    spark: SparkSession,
+    source: DataFrame,
+    catalog: SinkCatalog,
+    checkpoint_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_k: int = 3,
+    min_jaccard: float = 0.5,
+    max_bucket_size: int = 1000,
+    hasher=None,
+    corpus_table: str = "corpus",
+    index_table: str = "dedup_index",
+    id_buckets: int = 16,
+    available_now: bool = True,
+    processing_time: str = "60 seconds",
+):
+    """Continuous-ingest near-dup dedup: each micro-batch of documents
+    is checked against the ACCUMULATED corpus (exact fingerprint +
+    banded-MinHash near-dup, ``dedup_incremental``); accepted docs are
+    appended to ``corpus_table`` and their signatures + fingerprints to
+    ``index_table`` — so the corpus is indexed exactly once, at ingest
+    time, and no batch ever re-shingles it. This is the streaming
+    composition of the incremental-index contract: per batch the only
+    existing-side scan is the stored index (``existing_sigs`` +
+    ``existing_fps``; corpus text is never read back).
+
+    Intra-batch duplicates: exact dups collapse keep-first (lowest id)
+    inside the batch; near-dups WITHIN one micro-batch are accepted
+    (the operator's contract is strictly new-vs-existing) and act as
+    each other's index entries for every later batch — the residual
+    near-dup rate is bounded by the micro-batch size, not the stream.
+
+    Exactly-once: accepted-set computation EXCLUDES the batch's own
+    ids from the index reads (ids are assumed unique across the
+    stream), so a re-delivered batch recomputes the identical accepted
+    set even if the previous attempt committed one table and crashed
+    before the other; per-table idempotence markers then skip the
+    committed append and complete the missing one — the same
+    marker-per-table recovery as ``start_pipeline_stream``.
+
+    Index rows with NULL signature are docs too short to shingle
+    (< ``shingle_k`` tokens): they still carry their exact fingerprint
+    and are excluded from the banded join on read.
+    """
+    from pyspark.sql.window import Window
+
+    from ..operators.dataset import (
+        dedup_incremental,
+        minhash_signatures,
+        normalized_fp,
+    )
+
+    metrics: list[dict] = []
+    stream_id = _checkpoint_instance_id(checkpoint_dir)
+    part = F.concat(
+        F.lit("b"),
+        F.lpad(
+            F.pmod(F.xxhash64(F.col(id_col)), F.lit(id_buckets)).cast("string"),
+            2,
+            "0",
+        ),
+    )
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        w = Window.partitionBy(normalized_fp(text_col)).orderBy(id_col)
+        batch = (
+            batch_df.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+        batch_ids = batch.select(F.col(id_col))
+        handle: list = []
+        try:
+            index = catalog.read(spark, index_table).drop("_index")
+        except FileNotFoundError:
+            index = None
+        if index is None:
+            accepted = batch
+        else:
+            # exclude own ids: a re-delivered batch must see the
+            # PRE-batch corpus snapshot even if its first attempt
+            # already committed one of the two appends
+            index = index.join(F.broadcast(batch_ids), id_col, "left_anti")
+            flags = dedup_incremental(
+                batch,
+                None,
+                id_col,
+                text_col,
+                num_hashes,
+                bands,
+                shingle_k,
+                min_jaccard,
+                max_bucket_size,
+                hasher,
+                existing_sigs=index.filter(F.col("signature").isNotNull()).select(
+                    id_col, "shingles", "signature"
+                ),
+                existing_fps=index.select("_fp"),
+                cache_handle=handle,
+            )
+            accepted = batch.join(
+                flags.filter(F.col("kept") == 1).select(id_col), id_col, "left_semi"
+            )
+        accepted = accepted.persist()
+        try:
+            marker = f"ingest-{stream_id}-{batch_id}"
+            wrote = append_to_sink(
+                accepted.withColumn("_index", part), catalog, corpus_table, marker=marker
+            )
+            sigs = minhash_signatures(
+                accepted, id_col, text_col, num_hashes, shingle_k, hasher
+            )
+            index_rows = (
+                accepted.select(F.col(id_col), normalized_fp(text_col).alias("_fp"))
+                .join(sigs, id_col, "left")
+                .withColumn("_index", part)
+            )
+            append_to_sink(index_rows, catalog, index_table, marker=marker)
+            metrics.append(
+                {
+                    "batch_id": batch_id,
+                    "n_in": batch_df.count(),
+                    "n_accepted": accepted.count(),
+                    "committed": bool(wrote),
+                }
+            )
+        finally:
+            accepted.unpersist()
+            for f in handle:
+                f.unpersist()
+
+    writer = source.writeStream.foreachBatch(process).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime=processing_time)
+    query = writer.start()
+    query._ingest_metrics = metrics  # exposed for tests/observability
+    return query

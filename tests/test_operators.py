@@ -750,3 +750,38 @@ def test_duplicate_spans_random_parity(spark):
             if not any(s <= i < e for s, e, _ in spans)
         ]
         assert stripped[did] == (" ".join(kept), sum(e - s for s, e, _ in spans))
+
+
+def test_dedup_incremental_corpus_free_fast_path(spark):
+    """With BOTH stored indexes (signatures + fingerprints) the
+    existing corpus text is never needed: existing_docs=None must
+    reproduce the default path exactly; missing either index raises."""
+    import pytest
+
+    existing = spark.createDataFrame(
+        [(0, "alpha bravo charlie delta echo foxtrot golf hotel india juliet"),
+         (1, "completely different content about spark physical plans here")],
+        ["doc_id", "text"],
+    )
+    new = spark.createDataFrame(
+        [(10, "alpha bravo charlie delta echo foxtrot golf hotel india juliet"),
+         (13, "utterly novel sentence with entirely unique vocabulary tokens")],
+        ["doc_id", "text"],
+    )
+    kw = dict(num_hashes=8, bands=4, min_jaccard=0.2,
+              hasher=DS._md5_hasher, bucket_by_values=True)
+    want = {r["doc_id"]: (r["exact_dup"], r["n_near"], r["kept"])
+            for r in DS.dedup_incremental(new, existing, **kw).collect()}
+
+    sigs = DS.minhash_signatures(existing, "doc_id", "text", 8, 3,
+                                 DS._md5_hasher).persist()
+    fps = existing.select(DS.normalized_fp("text").alias("_fp")).persist()
+    got = {r["doc_id"]: (r["exact_dup"], r["n_near"], r["kept"])
+           for r in DS.dedup_incremental(
+               new, None, existing_sigs=sigs, existing_fps=fps, **kw
+           ).collect()}
+    assert got == want
+    with pytest.raises(ValueError):
+        DS.dedup_incremental(new, None, existing_sigs=sigs, **kw)
+    sigs.unpersist()
+    fps.unpersist()

@@ -483,3 +483,65 @@ def test_heavy_hitters_sketch_empty_summary_marker(spark, tmp_path):
     emitted = spark.table("mg_empty").collect()
     assert len(emitted) == 1
     assert emitted[0]["conv_id"] is None and emitted[0]["seen"] == 9
+
+
+def test_ingest_dedup_stream_accumulates_index(spark, tmp_path):
+    """Continuous-ingest near-dup dedup: batch 2 is checked against
+    batch 1's STORED index (corpus text never re-shingled) — exact
+    dups and near-dups of accepted docs are rejected, uniques accepted,
+    intra-batch exact dups collapse keep-first, and sub-shingle docs
+    participate via their fingerprint (NULL-signature index rows)."""
+    from fluent_plugin_opensearch_spark.streaming.stream import ingest_dedup_stream
+
+    base = ("the quick brown fox jumps over the lazy dog while "
+            "seven wizards brew strong coffee at dawn")
+    other = ("entirely different content discussing spark physical "
+            "plans adaptive execution and shuffle partition tuning")
+    schema = "doc_id bigint, text string"
+    b1 = spark.createDataFrame(
+        [(1, base), (2, other), (7, "hi")], schema=schema
+    )
+    b2 = spark.createDataFrame(
+        [
+            (3, base),                                  # exact dup of 1
+            (4, other.replace("tuning", "sizing")),     # near-dup of 2
+            (5, "totally novel text with unique vocabulary tokens appearing once only"),
+            (6, "totally novel text with unique vocabulary tokens appearing once only"),  # intra-batch dup of 5
+            (8, "hi"),                                  # exact dup of tiny doc 7
+        ],
+        schema=schema,
+    )
+    src = str(tmp_path / "src")
+    b1.write.parquet(src)
+    cat = SinkCatalog(str(tmp_path / "wh"))
+    ck = str(tmp_path / "ckpt")
+    kw = dict(num_hashes=8, bands=4, shingle_k=3, min_jaccard=0.3)
+
+    def run():
+        q = ingest_dedup_stream(
+            spark,
+            spark.readStream.schema(schema).parquet(src),
+            cat,
+            ck,
+            **kw,
+        )
+        q.awaitTermination(120)
+        return q
+
+    run()
+    assert {r["doc_id"] for r in cat.read(spark, "corpus").collect()} == {1, 2, 7}
+
+    b2.write.mode("append").parquet(src)
+    q = run()
+    corpus = {r["doc_id"] for r in cat.read(spark, "corpus").collect()}
+    assert corpus == {1, 2, 7, 5}
+    idx = {r["doc_id"]: r for r in cat.read(spark, "dedup_index").collect()}
+    assert set(idx) == corpus
+    assert idx[7]["signature"] is None and idx[7]["_fp"] is not None
+    assert idx[5]["signature"] is not None
+    m = q._ingest_metrics
+    assert m and m[-1]["n_in"] == 5 and m[-1]["n_accepted"] == 1
+
+    # third drain, no new files: nothing changes
+    run()
+    assert cat.read(spark, "corpus").count() == 4
