@@ -600,6 +600,48 @@ def stratified_sample(
     )
 
 
+def split_corpus(
+    docs: DataFrame,
+    splits_permille: dict[str, int],
+    id_col: str = "doc_id",
+    salt: str = "split#0",
+    out_col: str = "split",
+) -> DataFrame:
+    """Deterministic train/val/test split: assign each doc to exactly
+    ONE split by its 60-bit md5 id bucket (0..999) against cumulative
+    per-mille boundaries taken in ``splits_permille`` insertion order
+    (must sum to 1000).
+
+    Pure projection — no shuffle, no RNG, no coordination: membership
+    is a function of the id alone, so it replays bit-identically across
+    engines, cluster sizes, repartitions, and pipeline re-runs. That
+    stability is what makes a holdout trustworthy at 100 TB: a doc can
+    never silently migrate from test into train between corpus builds.
+    Pair with ``contamination_check`` (train side vs holdout side) to
+    drop n-gram leakage across the boundary — hash disjointness alone
+    does not prevent near-duplicate leakage.
+    """
+    if sum(splits_permille.values()) != 1000:
+        raise ValueError(
+            f"splits_permille must sum to 1000, got {sum(splits_permille.values())}"
+        )
+    bounds: list[tuple[int, str]] = []
+    cum = 0
+    for name, pm in splits_permille.items():
+        cum += pm
+        bounds.append((cum, name))
+    assign = None
+    for bound, name in bounds[:-1]:
+        cond = F.col("_bucket") < bound
+        assign = F.when(cond, name) if assign is None else assign.when(cond, name)
+    assign = F.lit(bounds[-1][1]) if assign is None else assign.otherwise(bounds[-1][1])
+    return (
+        docs.withColumn("_bucket", _id_bucket(id_col, 1000, salt))
+        .withColumn(out_col, assign)
+        .drop("_bucket")
+    )
+
+
 def quota_top_per_stratum(
     docs: DataFrame,
     quota: int,

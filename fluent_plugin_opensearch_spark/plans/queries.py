@@ -1779,6 +1779,56 @@ hits AS (SELECT DISTINCT d.doc_id, b.bench_id FROM doc_ngrams d JOIN bench b ON 
 SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bench_hits, CAST(min(bench_id) AS BIGINT) AS first_bench_id
 FROM hits GROUP BY doc_id"""
 
+#: per-mille split boundaries used by the corpus_splits query
+_SPLITS = {"train": 900, "val": 50, "test": 50}
+
+
+def q_corpus_splits(spark, sf_dir):
+    """Deterministic hash train/val/test split + cross-split
+    decontamination: each doc lands in exactly one split by md5 id
+    bucket (membership can never drift between corpus builds), then
+    train docs sharing any word 8-gram with a val/test doc are dropped
+    — the holdout-integrity gate a corpus build runs before training.
+    Output: per-split profile (count + id checksum) after the drop."""
+    docs = CU.split_corpus(_docs(spark, sf_dir), _SPLITS)
+    train = docs.filter(F.col("split") == "train")
+    holdout = docs.filter(F.col("split") != "train")
+    contam = CU.contamination_check(
+        train, holdout.select(F.col("doc_id").alias("bench_id"), "text"), n=8
+    )
+    kept = (
+        train.join(contam, "doc_id", "left_anti")
+        .select("split", "doc_id")
+        .unionByName(holdout.select("split", "doc_id"))
+    )
+    return kept.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("doc_id").alias("id_sum")
+    )
+
+
+O_CORPUS_SPLITS = r"""
+WITH s AS (
+  SELECT doc_id, text,
+         CASE WHEN bk < 900 THEN 'train' WHEN bk < 950 THEN 'val' ELSE 'test' END AS split
+  FROM (SELECT doc_id, text,
+               ('0x' || substr(md5(concat('split#0', cast(doc_id AS STRING))), 1, 15))::BIGINT % 1000 AS bk
+        FROM documents)
+),
+toks AS (SELECT doc_id, split, string_split_regex(trim(text), '\s+') AS t FROM s),
+hold_ng AS (SELECT DISTINCT array_to_string(t[CAST(i AS INT):CAST(i + 7 AS INT)], ' ') AS ngram
+            FROM toks, unnest(range(1, len(t) - 6)) AS u(i) WHERE split <> 'train'),
+contam AS (SELECT DISTINCT d.doc_id
+           FROM (SELECT doc_id, array_to_string(t[CAST(i AS INT):CAST(i + 7 AS INT)], ' ') AS ngram
+                 FROM toks, unnest(range(1, len(t) - 6)) AS u(i) WHERE split = 'train') d
+           JOIN hold_ng USING (ngram)),
+kept AS (SELECT split, doc_id FROM s WHERE split <> 'train'
+         UNION ALL
+         SELECT split, doc_id FROM s WHERE split = 'train'
+           AND doc_id NOT IN (SELECT doc_id FROM contam))
+SELECT split, CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(doc_id) AS BIGINT) AS id_sum
+FROM kept GROUP BY split"""
+
+
 #: mixing weights used by the stratified_sample query (per-mille)
 _STRAT_RATES = {"src0": 800, "src1": 500, "src2": 250, "src3": 100}
 
@@ -2503,6 +2553,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "winnow_pairs": q_winnow_pairs,
     "lm_ce": q_lm_ce,
     "dup_spans": q_dup_spans,
+    "corpus_splits": q_corpus_splits,
 }
 
 ORACLES: dict[str, str] = {
@@ -2582,4 +2633,5 @@ ORACLES: dict[str, str] = {
     "url_blocklist": O_URL_BLOCKLIST,
     "temperature_mixture": O_TEMPERATURE_MIXTURE,
     "dedup_incremental_md5": O_DEDUP_INCR,
+    "corpus_splits": O_CORPUS_SPLITS,
 }

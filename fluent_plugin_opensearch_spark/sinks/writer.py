@@ -84,9 +84,20 @@ class SinkCatalog:
     buffer dir. On a real cluster this class is replaced by an Iceberg
     catalog (MERGE INTO + snapshot isolation); interfaces are shaped
     so that swap is mechanical.
+
+    ``snapshots_kept > 1`` turns on Iceberg-style snapshot history:
+    every commit appends its full partition map to a bounded
+    ``snapshots`` log in the manifest, ``read(version=...)`` time-travels
+    to any retained snapshot, ``rollback`` atomically re-points the
+    table at one, and ``vacuum`` protects every version dir a retained
+    snapshot still references (``expire_snapshots`` is the retention
+    job, Iceberg's ``expire_snapshots`` analog). The default (1) keeps
+    no history — identical layout and GC behavior to a plain
+    current-snapshot catalog.
     """
 
     base_dir: str
+    snapshots_kept: int = 1
 
     def path(self, table: str) -> str:
         return os.path.join(self.base_dir, table)
@@ -161,20 +172,61 @@ class SinkCatalog:
         if marker is not None:
             m["markers"] = _prune_markers(set(m.get("markers", [])) | {marker})
         m["current_version"] = version
+        self._record_snapshot(m, version)
+        self._flip(table, m)
+
+    def _flip(self, table: str, m: dict) -> None:
+        """The ONE atomic commit primitive: rewrite the manifest to a
+        temp file, ``os.replace`` over the live one."""
         self.ensure(table)
         tmp = self._manifest_path(table) + ".tmp"
         with open(tmp, "w") as f:
             json.dump(m, f, indent=0, sort_keys=True)
         os.replace(tmp, self._manifest_path(table))
 
-    def read(self, spark: SparkSession, table: str) -> DataFrame:
-        """Read the table's CURRENT snapshot: per live version dir, the
-        partitions the manifest assigns to it (orphan/stale dirs are
-        invisible). Merge rewrites collapse a partition back to one
-        version, so the union stays shallow."""
+    def _record_snapshot(self, m: dict, version: int) -> None:
+        """Append the post-commit partition map to the bounded snapshot
+        log (no-op at the default retention of 1 — the current state IS
+        the only snapshot, and the manifest stays byte-identical to the
+        history-free layout)."""
+        if self.snapshots_kept <= 1:
+            m.pop("snapshots", None)
+            return
+        log = m.get("snapshots", [])
+        log.append(
+            {"version": version, "partitions": {p: list(vs) for p, vs in m["partitions"].items()}}
+        )
+        m["snapshots"] = log[-self.snapshots_kept :]
+
+    def snapshots(self, table: str) -> list[int]:
+        """Versions available for time travel (oldest first). The
+        current version is always readable even with history off."""
         m = self.manifest(table)
+        versions = [s["version"] for s in m.get("snapshots", [])]
+        if m["current_version"] not in versions and m["partitions"]:
+            versions.append(m["current_version"])
+        return versions
+
+    def _partitions_at(self, table: str, version: int | None) -> dict[str, list[str]]:
+        m = self.manifest(table)
+        if version is None or version == m["current_version"]:
+            return m["partitions"]
+        for snap in m.get("snapshots", []):
+            if snap["version"] == version:
+                return snap["partitions"]
+        raise ValueError(
+            f"sink table {table!r} has no retained snapshot for version {version} "
+            f"(retained: {self.snapshots(table)}) — expired or never committed"
+        )
+
+    def read(self, spark: SparkSession, table: str, version: int | None = None) -> DataFrame:
+        """Read a snapshot: per live version dir, the partitions the
+        manifest assigns to it (orphan/stale dirs are invisible). Merge
+        rewrites collapse a partition back to one version, so the union
+        stays shallow. ``version`` time-travels to a retained snapshot
+        (requires ``snapshots_kept > 1`` at commit time)."""
         by_version: dict[str, list[str]] = {}
-        for part, versions in m["partitions"].items():
+        for part, versions in self._partitions_at(table, version).items():
             for v in versions:
                 by_version.setdefault(v, []).append(part)
         if not by_version:
@@ -225,11 +277,43 @@ class SinkCatalog:
         self.vacuum(table)
         return len(frag)
 
+    def rollback(self, table: str, version: int) -> int:
+        """Re-point the table at a retained snapshot (Iceberg
+        ``rollback_to_snapshot``): the rolled-back state commits as a
+        NEW version in the same single atomic flip, so history stays
+        append-only and the abandoned versions remain time-travelable
+        until ``expire_snapshots``. Returns the new current version."""
+        target = {p: list(vs) for p, vs in self._partitions_at(table, version).items()}
+        m = self.manifest(table)
+        new_version = m["current_version"] + 1
+        m["partitions"] = target
+        m["current_version"] = new_version
+        self._record_snapshot(m, new_version)
+        self._flip(table, m)
+        return new_version
+
+    def expire_snapshots(self, table: str, keep: int = 1) -> list[int]:
+        """Retention maintenance (Iceberg ``expire_snapshots``): drop
+        all but the newest ``keep`` snapshot-log entries so the next
+        ``vacuum`` can GC the version dirs only they referenced.
+        Returns the expired versions."""
+        m = self.manifest(table)
+        log = m.get("snapshots", [])
+        expired = [s["version"] for s in log[: max(0, len(log) - keep)]]
+        if expired:
+            m["snapshots"] = log[len(expired) :]
+            self._flip(table, m)
+        return expired
+
     def vacuum(self, table: str) -> list[str]:
         """Delete version dirs no partition references (post-merge GC).
-        Safe at any time: the manifest is the source of truth."""
+        Safe at any time: the manifest is the source of truth. Version
+        dirs still referenced by a retained snapshot are protected —
+        run ``expire_snapshots`` first to release them."""
         m = self.manifest(table)
         live = {v for versions in m["partitions"].values() for v in versions}
+        for snap in m.get("snapshots", []):
+            live |= {v for versions in snap["partitions"].values() for v in versions}
         removed = []
         root = self.path(table)
         if not os.path.isdir(root):

@@ -926,3 +926,58 @@ def test_curate_corpus_job_strip_dup_spans(spark, tmp_path, capsys):
     assert got[0] == f"{shared} {uniq_a}"   # keeper occurrence intact
     assert got[1] == uniq_b                 # copied run cut
     assert stats["dropped_stale_cols"] == ["lang"]
+
+
+# ---------------------------------------------------------------------------
+# Deterministic corpus splits
+# ---------------------------------------------------------------------------
+
+def test_split_corpus_partition_and_determinism(spark):
+    """Every doc lands in exactly one split; proportions track the
+    per-mille boundaries; membership is a pure function of the id
+    (re-running / repartitioning never moves a doc); bad boundaries
+    rejected."""
+    import pytest
+
+    docs = spark.range(2000).selectExpr("id AS doc_id", "'x' AS text")
+    splits = {"train": 900, "val": 50, "test": 50}
+    out = CU.split_corpus(docs, splits)
+    counts = {r["split"]: r["n"] for r in out.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert sum(counts.values()) == 2000
+    assert set(counts) == {"train", "val", "test"}
+    # 900/50/50 per-mille within a loose band (hash-uniformity, 2000 ids)
+    assert 1700 <= counts["train"] <= 1900
+    assert 50 <= counts["val"] + counts["test"] <= 300
+    # determinism: same assignment after a repartition and a re-run
+    again = CU.split_corpus(docs.repartition(7), splits)
+    a = {r["doc_id"]: r["split"] for r in out.collect()}
+    b = {r["doc_id"]: r["split"] for r in again.collect()}
+    assert a == b
+    with pytest.raises(ValueError, match="sum to 1000"):
+        CU.split_corpus(docs, {"train": 990, "test": 5})
+
+
+def test_split_decontamination_drops_leaked_train_docs(spark):
+    """A train doc sharing an 8-gram with a holdout doc is dropped by
+    the contamination anti-join; clean train docs and all holdout docs
+    survive (the corpus_splits query shape, planted)."""
+    leak = "alpha bravo charlie delta echo foxtrot golf hotel"
+    rows = [(i, f"doc {i} filler " + " ".join(f"w{i}_{j}" for j in range(10))) for i in range(40)]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    split = CU.split_corpus(docs, {"train": 500, "test": 500}, salt="t#1")
+    pair = {r["doc_id"]: r["split"] for r in split.collect()}
+    train_id = next(i for i in pair if pair[i] == "train")
+    test_id = next(i for i in pair if pair[i] == "test")
+    # plant the leak into one train doc and one test doc
+    planted = spark.createDataFrame(
+        [(i, leak if i in (train_id, test_id) else t) for i, t in rows], ["doc_id", "text"]
+    )
+    split = CU.split_corpus(planted, {"train": 500, "test": 500}, salt="t#1")
+    train = split.filter(F.col("split") == "train")
+    hold = split.filter(F.col("split") == "test")
+    contam = CU.contamination_check(
+        train, hold.select(F.col("doc_id").alias("bench_id"), "text"), n=8
+    )
+    kept_train = {r["doc_id"] for r in train.join(contam, "doc_id", "left_anti").collect()}
+    assert train_id not in kept_train
+    assert kept_train == {i for i in pair if pair[i] == "train"} - {train_id}

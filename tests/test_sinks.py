@@ -355,3 +355,65 @@ def test_marker_set_is_pruned_per_stream():
     assert "stream-aaaa-199" in a and "stream-aaaa-99" not in a
     assert len([m for m in kept if m.startswith("stream-bbbb-")]) == 10
     assert "oneoff-token" in kept
+
+
+def test_snapshot_time_travel_rollback_and_expiry(spark, tmp_path):
+    """Iceberg-shaped snapshot history (snapshots_kept > 1): reads can
+    time-travel to retained snapshots, rollback re-points the table in
+    one atomic flip as a NEW version, vacuum protects every dir a
+    retained snapshot references, and expire_snapshots releases them."""
+    import os
+
+    import pytest
+
+    cat = SinkCatalog(str(tmp_path), snapshots_kept=8)
+    cfg = PipelineConfig(write_operation="index", id_key="_id")
+    merge_write(spark, _df(spark, [("a", "i1", 1)]), cat, cfg)
+    v1 = cat.manifest("sink")["current_version"]
+    merge_write(spark, _df(spark, [("a", "i1", 2), ("b", "i2", 1)]), cat, cfg)
+    v2 = cat.manifest("sink")["current_version"]
+    assert cat.snapshots("sink") == [v1, v2]
+
+    # time travel: the pre-merge state is still readable (merge_write
+    # already vacuumed — snapshot-referenced dirs must have survived)
+    old = {r["_id"]: r["v"] for r in cat.read(spark, "sink", version=v1).collect()}
+    assert old == {"a": 1}
+    cur = {r["_id"]: r["v"] for r in cat.read(spark, "sink").collect()}
+    assert cur == {"a": 2, "b": 1}
+
+    # rollback commits the old state as a NEW version (append-only log)
+    v3 = cat.rollback("sink", v1)
+    assert v3 == v2 + 1
+    assert {r["_id"]: r["v"] for r in cat.read(spark, "sink").collect()} == {"a": 1}
+    # the rolled-over state stays time-travelable until expiry
+    assert {r["_id"] for r in cat.read(spark, "sink", version=v2).collect()} == {"a", "b"}
+
+    # expiry releases v2's dirs; vacuum then GCs them
+    expired = cat.expire_snapshots("sink", keep=1)
+    assert v2 in expired
+    removed = cat.vacuum("sink")
+    assert removed  # v2's version dir was only reachable via the log
+    with pytest.raises(ValueError, match="no retained snapshot"):
+        cat.read(spark, "sink", version=v2)
+    # current state intact after GC
+    assert {r["_id"]: r["v"] for r in cat.read(spark, "sink").collect()} == {"a": 1}
+    on_disk = {d for d in os.listdir(cat.path("sink")) if d.startswith("v_")}
+    live = {v for vs in cat.manifest("sink")["partitions"].values() for v in vs}
+    assert on_disk == live
+
+
+def test_default_catalog_keeps_no_history(spark, tmp_path):
+    """snapshots_kept=1 (default) must behave exactly like the
+    history-free catalog: no snapshot log in the manifest, old
+    versions unreadable, vacuum unaffected."""
+    import pytest
+
+    cat = SinkCatalog(str(tmp_path))
+    cfg = PipelineConfig(write_operation="index", id_key="_id")
+    merge_write(spark, _df(spark, [("a", "i1", 1)]), cat, cfg)
+    v1 = cat.manifest("sink")["current_version"]
+    merge_write(spark, _df(spark, [("a", "i1", 2)]), cat, cfg)
+    assert "snapshots" not in cat.manifest("sink")
+    assert cat.snapshots("sink") == [cat.manifest("sink")["current_version"]]
+    with pytest.raises(ValueError, match="no retained snapshot"):
+        cat.read(spark, "sink", version=v1)
