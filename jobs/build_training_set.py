@@ -1,18 +1,23 @@
 """Training-set assembly job — the stage AFTER curation: turn a
 curated corpus into epoch-ready training shards.
 
+    [deterministic train/val/test split + holdout decontamination →]
     token-budget mixture sampling → deterministic epoch shuffle +
     shard assignment → shard-partitioned parquet (rows in training
     order) [+ optional sequence-packing span sidecar]
 
     spark-submit --py-files dist/fposs.zip jobs/build_training_set.py \\
         --input <curated documents parquet> --output <dir> \\
+        [--splits '{"train": 900, "val": 50, "test": 50}' \\
+         --decontaminate-ngram 8] \\
         [--weights '{"web": 600, "code": 250}' --budget-tokens 2000000] \\
         [--n-shards 64] [--epoch 0] [--pack-budget 4096]
 
 Layout written under --output:
     shards/shard=K/...parquet   rows (pos, doc_id, text, n_tokens)
                                 sorted by pos within each file
+                                (the train split when --splits given)
+    splits/split=val/... etc    holdout splits, verbatim rows
     packs/...parquet            (doc_id, start_off, first_pack,
                                 last_pack, n_packs) at --pack-budget
                                 tokens per context window (optional)
@@ -37,6 +42,14 @@ def main(argv: list[str]) -> None:
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--input", required=True)
     p.add_argument("--output", required=True)
+    p.add_argument("--splits", default=None,
+                   help="JSON {split: permille} summing to 1000, must "
+                        "include 'train'; holdout splits are written "
+                        "under <output>/splits and the rest of the job "
+                        "runs on train only")
+    p.add_argument("--decontaminate-ngram", type=int, default=0,
+                   help="with --splits: drop train docs sharing any "
+                        "word n-gram of this size with a holdout doc")
     p.add_argument("--weights", default=None,
                    help="JSON {source: permille-of-budget}; with "
                         "--budget-tokens enables mixture sampling")
@@ -50,21 +63,56 @@ def main(argv: list[str]) -> None:
     args = p.parse_args(argv)
     if (args.weights is None) != (args.budget_tokens is None):
         p.error("--weights and --budget-tokens must be given together")
+    if args.decontaminate_ngram and not args.splits:
+        p.error("--decontaminate-ngram requires --splits")
 
     from pyspark.sql import SparkSession
     from pyspark.sql import functions as F
 
     from fluent_plugin_opensearch_spark.operators.curation import (
         _n_tokens,
+        contamination_check,
         mixture_plan,
         mixture_sample,
         pack_sequences,
+        split_corpus,
         training_shards,
     )
 
     spark = SparkSession.builder.appName("build-training-set").getOrCreate()
     docs = spark.read.parquet(args.input)
     n_in = docs.count()
+
+    split_stats = None
+    if args.splits:
+        splits = {k: int(v) for k, v in json.loads(args.splits).items()}
+        if "train" not in splits:
+            p.error("--splits must include a 'train' entry")
+        tagged = split_corpus(docs, splits)
+        holdout = tagged.filter(F.col("split") != "train")
+        holdout.write.mode("overwrite").partitionBy("split").parquet(
+            f"{args.output}/splits"
+        )
+        split_stats = {
+            r["split"]: r["n"]
+            for r in tagged.groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()
+        }
+        train = tagged.filter(F.col("split") == "train").drop("split")
+        if args.decontaminate_ngram:
+            # holdout is a bounded fraction of the corpus but NOT an
+            # eval-suite-sized table — don't broadcast its n-grams;
+            # the check degrades to a hash join on the gram, still
+            # linear (contamination_check docstring sizes the knob)
+            contam = contamination_check(
+                train,
+                holdout.select(F.col("doc_id").alias("bench_id"), "text"),
+                n=args.decontaminate_ngram,
+                broadcast_bench=False,
+            )
+            n_leaked = contam.count()  # one row per contaminated doc
+            train = train.join(contam.select("doc_id"), "doc_id", "left_anti")
+            split_stats["train_dropped_contaminated"] = n_leaked
+        docs = train
 
     plan_rows = None
     if args.weights:
@@ -120,6 +168,8 @@ def main(argv: list[str]) -> None:
         "shard_docs_max": int(max(sizes)) if sizes else 0,
         "epoch": args.epoch,
     }
+    if split_stats is not None:
+        stats["splits"] = split_stats
     if plan_rows is not None:
         stats["mixture_plan"] = plan_rows
         zero = [

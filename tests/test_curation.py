@@ -981,3 +981,55 @@ def test_split_decontamination_drops_leaked_train_docs(spark):
     kept_train = {r["doc_id"] for r in train.join(contam, "doc_id", "left_anti").collect()}
     assert train_id not in kept_train
     assert kept_train == {i for i in pair if pair[i] == "train"} - {train_id}
+
+
+def test_build_training_set_job_splits(spark, tmp_path, capsys):
+    """--splits + --decontaminate-ngram: holdout splits land under
+    splits/, shards hold ONLY the train split, a planted train→test
+    8-gram leak is dropped, and the stats JSON accounts for all of
+    it."""
+    import json
+
+    from jobs.build_training_set import main as job_main
+
+    leak = "alpha bravo charlie delta echo foxtrot golf hotel"
+    rows = [(i, f"doc {i} " + " ".join(f"w{i}_{j}" for j in range(10)), "src0")
+            for i in range(60)]
+    docs = spark.createDataFrame(rows, ["doc_id", "text", "source"])
+    split_map = {
+        r["doc_id"]: r["split"]
+        for r in CU.split_corpus(docs, {"train": 800, "val": 100, "test": 100}).collect()
+    }
+    train_id = next(i for i in split_map if split_map[i] == "train")
+    test_id = next(i for i in split_map if split_map[i] == "test")
+    planted = spark.createDataFrame(
+        [(i, leak if i in (train_id, test_id) else t, s) for i, t, s in rows],
+        ["doc_id", "text", "source"],
+    )
+    src = str(tmp_path / "docs")
+    planted.write.parquet(src)
+
+    out = str(tmp_path / "ts")
+    job_main([
+        "--input", src, "--output", out,
+        "--splits", json.dumps({"train": 800, "val": 100, "test": 100}),
+        "--decontaminate-ngram", "8", "--n-shards", "2",
+    ])
+    stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    n_train = sum(1 for s in split_map.values() if s == "train")
+    assert stats["splits"]["train"] == n_train
+    assert stats["splits"]["train_dropped_contaminated"] == 1
+    assert stats["kept_docs"] == n_train - 1
+
+    shard_ids = {r["doc_id"] for r in spark.read.parquet(f"{out}/shards").collect()}
+    assert train_id not in shard_ids
+    assert shard_ids == {i for i, s in split_map.items() if s == "train"} - {train_id}
+    holdout = spark.read.parquet(f"{out}/splits")
+    by_split = {
+        r["split"]: r["n"]
+        for r in holdout.groupBy("split").agg(F.count("*").alias("n")).collect()
+    }
+    assert by_split == {
+        "val": sum(1 for s in split_map.values() if s == "val"),
+        "test": sum(1 for s in split_map.values() if s == "test"),
+    }
