@@ -531,6 +531,38 @@ FROM g GROUP BY 1"""
 )
 
 
+def q_tool_transitions(spark, sf_dir):
+    """Agent-trace analytics: which tool follows which inside a
+    conversation — (prev_tool → tool) bigram counts over the stable
+    (conv_id, turn_idx) order (O4), restricted to tool-invoking turns.
+    One window over the conversation key (the partitioning every
+    session operator shares) + one hash aggregate; at 10^12 turns the
+    window is per-conversation (bounded) and the agg output is
+    |tools|² rows."""
+    from pyspark.sql.window import Window
+
+    t = _t(spark, sf_dir).filter(F.col("tool").isNotNull())
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    pairs = t.withColumn("prev_tool", F.lag("tool").over(w)).filter(
+        F.col("prev_tool").isNotNull()
+    )
+    return pairs.groupBy("prev_tool", "tool").agg(
+        F.count(F.lit(1)).alias("n_transitions")
+    )
+
+
+O_TOOL_TRANSITIONS = (
+    ORACLE_PREFIX
+    + """
+, seq AS (
+  SELECT conv_id, tool,
+    lag(tool) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS prev_tool
+  FROM transcripts WHERE tool IS NOT NULL)
+SELECT prev_tool, tool, CAST(count(*) AS BIGINT) AS n_transitions
+FROM seq WHERE prev_tool IS NOT NULL GROUP BY 1, 2"""
+)
+
+
 def q_chunk_dedup(spark, sf_dir):
     """P7 analog: replayed-chunk dedup — double the stream, dedup on
     the natural key, report both counts (chunk-id dedup test pattern,
@@ -2554,6 +2586,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lm_ce": q_lm_ce,
     "dup_spans": q_dup_spans,
     "corpus_splits": q_corpus_splits,
+    "tool_transitions": q_tool_transitions,
 }
 
 ORACLES: dict[str, str] = {
@@ -2634,4 +2667,5 @@ ORACLES: dict[str, str] = {
     "temperature_mixture": O_TEMPERATURE_MIXTURE,
     "dedup_incremental_md5": O_DEDUP_INCR,
     "corpus_splits": O_CORPUS_SPLITS,
+    "tool_transitions": O_TOOL_TRANSITIONS,
 }
