@@ -369,3 +369,15 @@ def test_strip_duplicate_spans_no_python(spark):
     docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
     plan = _plan(DS.strip_duplicate_spans(docs, window=16))
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_split_corpus_is_pure_projection(spark):
+    """split_corpus must compile to a zero-shuffle, zero-Python
+    projection — split assignment at 100 TB is free only if it rides
+    the scan."""
+    from fluent_plugin_opensearch_spark.operators.curation import split_corpus
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    plan = _plan(split_corpus(docs, {"train": 900, "val": 50, "test": 50}))
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

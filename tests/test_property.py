@@ -445,3 +445,40 @@ def test_parse_split_equals_reference_regex_random(spark):
         else:
             assert r["level"] is None and r["req_id"] is None
             assert r["duration_ms"] is None and r["message"] is None
+
+
+def test_split_corpus_random_python_parity(spark):
+    """Random split tables × random ids: Spark's cumulative-CASE
+    assignment must equal an independent Python evaluation of the same
+    md5-bucket rule (bucket = first 15 hex digits of md5(salt||id) as
+    int, % 1000, against cumulative per-mille bounds in insertion
+    order)."""
+    from fluent_plugin_opensearch_spark.operators.curation import split_corpus
+
+    rng = random.Random(20260817)
+    for trial in range(4):
+        n_splits = rng.randint(2, 5)
+        cuts = sorted(rng.sample(range(1, 1000), n_splits - 1))
+        pms = [b - a for a, b in zip([0] + cuts, cuts + [1000])]
+        names = [f"s{trial}_{i}" for i in range(n_splits)]
+        splits = dict(zip(names, pms))
+        salt = f"prop#{trial}"
+        ids = rng.sample(range(10**9), 300)
+
+        def py_assign(doc_id):
+            h = hashlib.md5(f"{salt}{doc_id}".encode()).hexdigest()
+            bucket = int(h[:15], 16) % 1000
+            cum = 0
+            for name, pm in splits.items():
+                cum += pm
+                if bucket < cum:
+                    return name
+            return names[-1]
+
+        expected = {i: py_assign(i) for i in ids}
+        df = spark.createDataFrame([(i,) for i in ids], ["doc_id"])
+        got = {
+            r["doc_id"]: r["split"]
+            for r in split_corpus(df, splits, salt=salt).collect()
+        }
+        assert got == expected, f"trial {trial} mismatch"
