@@ -1313,6 +1313,153 @@ def curate_corpus_semantic(
 
 
 # ---------------------------------------------------------------------------
+# Deterministic k-means (SemDeDup-style semantic clustering)
+# ---------------------------------------------------------------------------
+
+def _tdiv(s: int, n: int) -> int:
+    """Truncate-toward-zero integer division (SQL ``div`` semantics —
+    Python's ``//`` floors, which differs on negative sums)."""
+    q = abs(s) // n
+    return -q if s < 0 else q
+
+
+def kmeans_assign(
+    emb: DataFrame,
+    k: int = 4,
+    n_assign: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Deterministic Lloyd k-means over integer-quantized embeddings —
+    the clustering stage of SemDeDup-style semantic dedup (cluster
+    first, search near-dups only within clusters) and of IVF index
+    builds.
+
+    Everything after quantization (``q_d = round(scale·x_d)`` as
+    BIGINT) is EXACT integer arithmetic: distance = Σ(q_d − c_d)²
+    (bounded: |q|≤~8·scale, 64 dims → < 2^63), argmin tie-broken on
+    the lowest cluster index, and the centroid update is the
+    elementwise truncated integer mean. Initial centroids are the k
+    vectors with the smallest md5(id) — a uniform, engine-portable
+    draw. Determinism is total: the same corpus yields the same
+    clusters on any engine or cluster shape, which is what makes the
+    full-chain DuckDB oracle (and reproducible corpus builds)
+    possible. ``n_assign`` counts ASSIGNMENT passes; updates run
+    between them (classic fixed-iteration Lloyd — SemDeDup needs a
+    stable partitioning of embedding space, not convergence).
+
+    Scale shape (10^9+ vectors): each assignment is one scan with the
+    k centroids inlined as literals — no join, no shuffle; each update
+    is one posexplode → (cluster, dim) hash agg returning k·d rows to
+    the driver (the canonical Lloyd-on-Spark shape). Clusters that go
+    empty simply drop out of the next pass (mirrored by the oracle).
+
+    Returns (id_col, cluster).
+    """
+    q = F.transform(
+        F.col(vec_col), lambda x: F.round(x * F.lit(float(scale))).cast("long")
+    )
+    base = emb.select(F.col(id_col), q.alias("_q"))
+
+    init = (
+        base.withColumn("_h", F.md5(F.col(id_col).cast("string")))
+        .orderBy("_h", id_col)
+        .limit(k)
+        .select("_q")
+        .collect()
+    )
+    centroids: list[tuple[int, list[int]]] = [(j, list(r["_q"])) for j, r in enumerate(init)]
+
+    def assign_expr(cents):
+        structs = []
+        for j, cv in cents:
+            arr = F.array(*[F.lit(int(v)).cast("long") for v in cv])
+            diff = F.zip_with(F.col("_q"), arr, lambda x, c: (x - c) * (x - c))
+            dist = F.aggregate(diff, F.lit(0).cast("long"), lambda acc, v: acc + v)
+            structs.append(F.struct(dist.alias("d"), F.lit(j).alias("c")))
+        return F.array_min(F.array(*structs))["c"]
+
+    assigned = base.withColumn("cluster", assign_expr(centroids))
+    for _ in range(n_assign - 1):
+        rows = (
+            assigned.select("cluster", F.posexplode("_q").alias("_d", "_x"))
+            .groupBy("cluster", "_d")
+            .agg(F.sum("_x").alias("_s"), F.count(F.lit(1)).alias("_n"))
+            .collect()
+        )
+        by_c: dict[int, dict[int, int]] = {}
+        for r in rows:
+            by_c.setdefault(r["cluster"], {})[r["_d"]] = _tdiv(int(r["_s"]), int(r["_n"]))
+        centroids = [
+            (c, [dims[d] for d in sorted(dims)]) for c, dims in sorted(by_c.items())
+        ]
+        assigned = base.withColumn("cluster", assign_expr(centroids))
+    return assigned.select(id_col, "cluster")
+
+
+def semdedup_keep(
+    emb: DataFrame,
+    clusters: DataFrame,
+    threshold: float = 0.99,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_cluster_size: int = 10_000,
+) -> DataFrame:
+    """SemDeDup-style semantic dedup bounded by k-means cells: within
+    each cluster, a vector is dropped iff some SMALLER-id member of the
+    same cell has cosine ≥ ``threshold`` with it (keep-lowest
+    representative — one anti-join, no iterative CC, so the policy is
+    closed-form and fully oracle-checkable).
+
+    Scale shape: the ``clusters`` equi-join bounds the quadratic
+    verify to cell size — k is sized so cells hold ~|corpus|/k
+    vectors; a WINDOW count over the cluster key (the minhash guard
+    shape — rides the self-join exchange, never an aggregate+join-
+    back) excludes degenerate mega-cells from pairing instead of
+    letting one cell go quadratic. Cosine is double via built-in
+    zip_with/aggregate — JVM-side, no UDF.
+
+    Returns (cluster, id_col) kept rows.
+    """
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    norm = F.sqrt(
+        F.aggregate(F.transform("v", lambda x: x * x), F.lit(0.0), lambda a, x: a + x)
+    )
+    members = (
+        emb.select(F.col(id_col), v.alias("v"))
+        .join(clusters, id_col)
+        .withColumn("nrm", norm)
+    )
+    cn = F.count(F.lit(1)).over(Window.partitionBy("cluster"))
+    members = members.withColumn("_cn", cn)
+    small = members.filter(F.col("_cn") <= max_cluster_size).drop("_cn")
+    a = small.select(
+        F.col("cluster"),
+        F.col(id_col).alias("_ida"),
+        F.col("v").alias("_va"),
+        F.col("nrm").alias("_na"),
+    )
+    b = small.select(
+        F.col("cluster"),
+        F.col(id_col).alias("_idb"),
+        F.col("v").alias("_vb"),
+        F.col("nrm").alias("_nb"),
+    )
+    dot = F.aggregate(
+        F.zip_with("_va", "_vb", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    losers = (
+        a.join(b, "cluster")
+        .filter(F.col("_ida") < F.col("_idb"))
+        .filter(dot / (F.col("_na") * F.col("_nb")) >= F.lit(threshold))
+        .select(F.col("_idb").alias(id_col))
+        .distinct()
+    )
+    return members.join(losers, id_col, "left_anti").select("cluster", id_col)
+
+
+# ---------------------------------------------------------------------------
 # Text analysis
 # ---------------------------------------------------------------------------
 

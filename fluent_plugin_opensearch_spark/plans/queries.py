@@ -1603,6 +1603,88 @@ SELECT q_id, neighbor_id,
 FROM pairs QUALIFY rank <= 10"""
 
 
+def q_semantic_clusters(spark, sf_dir):
+    """SemDeDup-style deterministic k-means (k=4, two assignment
+    passes) over integer-quantized embeddings; output is the
+    per-cluster profile (size + id checksum). Exact integer math end
+    to end, so the whole Lloyd iteration replays in DuckDB."""
+    out = DS.kmeans_assign(_emb(spark, sf_dir), k=4, n_assign=2)
+    return out.groupBy("cluster").agg(
+        F.count(F.lit(1)).alias("n_members"), F.sum("vec_id").alias("id_sum")
+    )
+
+
+O_SEMANTIC_CLUSTERS = r"""
+WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(round(1000000 * x) AS BIGINT)) AS q
+           FROM embeddings),
+init AS (SELECT q, row_number() OVER (ORDER BY md5(cast(vec_id AS STRING)), vec_id) - 1 AS c
+         FROM e QUALIFY c < 4),
+dims AS (SELECT vec_id, CAST(u.i AS INT) AS d, q[CAST(u.i AS INT)] AS x
+         FROM e, unnest(range(1, 65)) AS u(i)),
+c0 AS (SELECT c, CAST(u.i AS INT) AS d, q[CAST(u.i AS INT)] AS x
+       FROM init, unnest(range(1, 65)) AS u(i)),
+a1 AS (SELECT vec_id, c FROM (
+         SELECT dims.vec_id, c0.c, sum((dims.x - c0.x) * (dims.x - c0.x)) AS dist
+         FROM dims JOIN c0 USING (d) GROUP BY 1, 2)
+       QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist, c) = 1),
+c1 AS (SELECT a1.c, dims.d, CAST(trunc(CAST(sum(dims.x) AS DOUBLE) / count(*)) AS BIGINT) AS x
+       FROM dims JOIN a1 USING (vec_id) GROUP BY 1, 2),
+a2 AS (SELECT vec_id, c FROM (
+         SELECT dims.vec_id, c1.c, sum((dims.x - c1.x) * (dims.x - c1.x)) AS dist
+         FROM dims JOIN c1 USING (d) GROUP BY 1, 2)
+       QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist, c) = 1)
+SELECT c AS cluster, CAST(count(*) AS BIGINT) AS n_members, CAST(sum(vec_id) AS BIGINT) AS id_sum
+FROM a2 GROUP BY c"""
+
+
+def q_semdedup_corpus(spark, sf_dir):
+    """SemDeDup end-to-end on the planted set (5 near-copies): k-means
+    cells (k=4, deterministic) bound the quadratic search; within each
+    cell a vector is dropped iff a smaller-id member sits at cosine ≥
+    0.99. The 5 planted copies must vanish (their originals survive);
+    output is the per-cell kept profile."""
+    emb = _planted_emb(spark, sf_dir)
+    clusters = DS.kmeans_assign(emb, k=4, n_assign=2)
+    kept = DS.semdedup_keep(emb, clusters, threshold=0.99)
+    return kept.groupBy("cluster").agg(
+        F.count(F.lit(1)).alias("n_kept"), F.sum("vec_id").alias("id_sum")
+    )
+
+
+O_SEMDEDUP = r"""
+WITH base AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+planted AS (
+  SELECT vec_id + 100000 AS vec_id, list_transform(v, x -> x * 1.001) AS v
+  FROM base WHERE vec_id < 5),
+allv AS (SELECT * FROM base UNION ALL SELECT * FROM planted),
+e AS (SELECT vec_id, list_transform(v, x -> CAST(round(1000000 * x) AS BIGINT)) AS q FROM allv),
+init AS (SELECT q, row_number() OVER (ORDER BY md5(cast(vec_id AS STRING)), vec_id) - 1 AS c
+         FROM e QUALIFY c < 4),
+dims AS (SELECT vec_id, CAST(u.i AS INT) AS d, q[CAST(u.i AS INT)] AS x
+         FROM e, unnest(range(1, 65)) AS u(i)),
+c0 AS (SELECT c, CAST(u.i AS INT) AS d, q[CAST(u.i AS INT)] AS x
+       FROM init, unnest(range(1, 65)) AS u(i)),
+a1 AS (SELECT vec_id, c FROM (
+         SELECT dims.vec_id, c0.c, sum((dims.x - c0.x) * (dims.x - c0.x)) AS dist
+         FROM dims JOIN c0 USING (d) GROUP BY 1, 2)
+       QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist, c) = 1),
+c1 AS (SELECT a1.c, dims.d, CAST(trunc(CAST(sum(dims.x) AS DOUBLE) / count(*)) AS BIGINT) AS x
+       FROM dims JOIN a1 USING (vec_id) GROUP BY 1, 2),
+a2 AS (SELECT vec_id, c FROM (
+         SELECT dims.vec_id, c1.c, sum((dims.x - c1.x) * (dims.x - c1.x)) AS dist
+         FROM dims JOIN c1 USING (d) GROUP BY 1, 2)
+       QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist, c) = 1),
+n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM allv),
+members AS (SELECT n.vec_id, n.v, n.nrm, a2.c FROM n JOIN a2 USING (vec_id)),
+losers AS (SELECT DISTINCT b.vec_id
+           FROM members a JOIN members b ON a.c = b.c AND a.vec_id < b.vec_id
+           WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= 0.99),
+kept AS (SELECT c, vec_id FROM members WHERE vec_id NOT IN (SELECT vec_id FROM losers))
+SELECT c AS cluster, CAST(count(*) AS BIGINT) AS n_kept, CAST(sum(vec_id) AS BIGINT) AS id_sum
+FROM kept GROUP BY c"""
+
+
 def q_ivf_recall(spark, sf_dir):
     """Recall@10 of the IVF/sign-LSH ANN path against the exact
     brute-force top-k, as an ORACLE-CHECKED integer query (VERDICT r2
@@ -2490,7 +2572,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "genid_sha256": _genid_q("sha256"),
     "error_taxonomy": q_error_taxonomy,
     "affinity_routing": q_affinity_routing,
-    "pipeline_meta": q_pipeline_meta,
+    "semdedup_corpus": q_semdedup_corpus,
     "missing_id_dlq": q_missing_id_dlq,
     "retry_union": q_retry_union,
     "per_conv_stats": q_per_conv_stats,
@@ -2503,7 +2585,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "session_stats": q_session_stats,
     "placeholder_routing": q_placeholder_routing,
     "alias_rollover": q_alias_rollover,
-    "quality_filter": q_quality_filter,
+    "semantic_clusters": q_semantic_clusters,
     "grok_extract": q_grok_extract,
     "rollup_cascade": q_rollup_cascade,
     "minhash_md5_pairs": q_minhash_md5_pairs,
@@ -2569,7 +2651,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "top_convs_per_day": q_top_convs_per_day,  # rollup_cascade covers re-agg
     "grok_dictionary": q_grok_dictionary,  # grok_extract covers the dialect
     "simhash_md5": q_simhash_md5,  # simhash_neardup_md5 recomputes signatures
-    "knn_label_vote": q_knn_label_vote,  # ann_cosine_topk covers the top-k
+    "pipeline_meta": q_pipeline_meta,
     "ivf_recall": q_ivf_recall,  # ivf_topk_md5 full-chain-checks the IVF path
     "turn_text_ordered": q_turn_text_ordered,  # per_conv_stats covers O4
     "curated_corpus_semantic": q_curated_corpus_semantic,  # pieces all
@@ -2587,6 +2669,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dup_spans": q_dup_spans,
     "corpus_splits": q_corpus_splits,
     "tool_transitions": q_tool_transitions,
+    "quality_filter": q_quality_filter,
+    "knn_label_vote": q_knn_label_vote,
 }
 
 ORACLES: dict[str, str] = {
@@ -2668,4 +2752,6 @@ ORACLES: dict[str, str] = {
     "dedup_incremental_md5": O_DEDUP_INCR,
     "corpus_splits": O_CORPUS_SPLITS,
     "tool_transitions": O_TOOL_TRANSITIONS,
+    "semantic_clusters": O_SEMANTIC_CLUSTERS,
+    "semdedup_corpus": O_SEMDEDUP,
 }

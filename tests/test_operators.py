@@ -785,3 +785,83 @@ def test_dedup_incremental_corpus_free_fast_path(spark):
         DS.dedup_incremental(new, None, existing_sigs=sigs, **kw)
     sigs.unpersist()
     fps.unpersist()
+
+
+def test_kmeans_assign_python_parity(spark):
+    """Random small corpora: kmeans_assign (quantize → init by md5(id)
+    → exact-integer Lloyd with trunc-div centroid means) must equal an
+    independent pure-Python run of the same algorithm."""
+    import hashlib
+    import random
+
+    def py_kmeans(vecs, k, n_assign, scale=1_000_000):
+        # quantize like the operator: round() on IEEE doubles
+        q = {i: [int(round(x * scale)) for x in v] for i, v in vecs.items()}
+        order = sorted(q, key=lambda i: (hashlib.md5(str(i).encode()).hexdigest(), i))
+        cents = [(j, list(q[order[j]])) for j in range(k)]
+
+        def assign():
+            out = {}
+            for i, vec in q.items():
+                best = min(
+                    (sum((a - b) * (a - b) for a, b in zip(vec, cv)), j)
+                    for j, cv in cents
+                )
+                out[i] = best[1]
+            return out
+
+        a = assign()
+        for _ in range(n_assign - 1):
+            sums, cnts = {}, {}
+            for i, c in a.items():
+                cnts[c] = cnts.get(c, 0) + 1
+                acc = sums.setdefault(c, [0] * len(q[i]))
+                for d, x in enumerate(q[i]):
+                    acc[d] += x
+            cents = [
+                (c, [(-(abs(s) // cnts[c]) if s < 0 else s // cnts[c]) for s in sums[c]])
+                for c in sorted(sums)
+            ]
+            a = assign()
+        return a
+
+    rng = random.Random(20260817)
+    for trial in range(3):
+        n, dim, k = 60, 8, 3
+        vecs = {
+            i: [rng.uniform(-2, 2) for _ in range(dim)] for i in rng.sample(range(10**6), n)
+        }
+        expected = py_kmeans(vecs, k, n_assign=3)
+        df = spark.createDataFrame(
+            [(i, v) for i, v in vecs.items()], "vec_id long, embedding array<double>"
+        )
+        got = {
+            r["vec_id"]: r["cluster"]
+            for r in DS.kmeans_assign(df, k=k, n_assign=3).collect()
+        }
+        assert got == expected, f"trial {trial}"
+
+
+def test_semdedup_drops_planted_copies_and_guard(spark):
+    """Planted near-copies die inside their cell (originals survive);
+    a binding max_cluster_size guard excludes oversized cells from
+    pairing entirely (nothing dropped there) instead of going
+    quadratic."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    base = emb.select("vec_id", v.alias("embedding"))
+    planted = base.filter(F.col("vec_id") < 3).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * 1.001).alias("embedding"),
+    )
+    allv = base.unionByName(planted)
+    clusters = DS.kmeans_assign(allv, k=3, n_assign=2)
+    kept = {r["vec_id"] for r in DS.semdedup_keep(allv, clusters, 0.99).collect()}
+    all_ids = {r["vec_id"] for r in allv.select("vec_id").collect()}
+    assert kept == all_ids - {100000, 100001, 100002}  # copies die, originals live
+    # binding guard: no cell is small enough to pair — nothing dropped
+    kept_guarded = {
+        r["vec_id"]
+        for r in DS.semdedup_keep(allv, clusters, 0.99, max_cluster_size=1).collect()
+    }
+    assert kept_guarded == all_ids
