@@ -1,0 +1,146 @@
+"""Search-side primitives over the corpus: inverted term index + BM25
+ranking, and log-template mining.
+
+The reference feeds records INTO a search engine (out_opensearch.rb
+routes bulk docs to indices); these operators supply the
+complementary query capability Spark-side, so a user of the reference
+stack can both ingest and search from one engine. Everything is
+declarative DataFrame ops — the "inverted index" is a (term, doc, tf)
+table produced by one explode + hash aggregate, which at 100 TB is a
+bucketed table the scoring join can reuse without reshuffling.
+
+Float boundary (oracle discipline): BM25's idf/length-normalization
+are the only floating steps; scores are quantized to integer
+micro-units (round(1e6·s), the dsir/lm_ce pattern) before ranking, so
+the top-k order is BIGINT-exact and replays cross-engine.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+#: tokenization shared by index build and query side: lower-cased
+#: word runs (letters+digits), dual-dialect (RE2/Java safe)
+_TOKEN_RE = r"[^a-z0-9]+"
+
+
+def _tokens(text_col: str):
+    toks = F.split(F.lower(F.trim(F.col(text_col))), _TOKEN_RE)
+    return F.filter(toks, lambda t: t != "")
+
+
+def term_postings(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Inverted-index postings: one row per (term, doc) with the term
+    frequency and the doc's token length. One explode + one hash
+    aggregate; at scale, write it bucketed by term so every query's
+    postings lookup is a bucket-local scan."""
+    return (
+        docs.select(F.col(id_col), F.explode(_tokens(text_col)).alias("term"))
+        .groupBy("term", id_col)
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .join(
+            docs.select(F.col(id_col), F.size(_tokens(text_col)).alias("dl")),
+            id_col,
+        )
+    )
+
+
+def bm25_topk(
+    docs: DataFrame,
+    query: str,
+    k: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """BM25 top-k over the corpus for a query string (Robertson/
+    Sparck-Jones idf with the +1 floor, as in Lucene):
+
+        idf(t)  = ln(1 + (N - df + 0.5)/(df + 0.5))
+        s(d)    = Σ_t idf·tf·(k1+1)/(tf + k1·(1 − b + b·dl/avgdl))
+
+    Scale shape: the postings table is filtered to the query's terms
+    (an ``isin`` over a handful of literals — partition-prunable on a
+    term-bucketed index), df comes from one small aggregate over that
+    filtered set, N/avgdl from one corpus-stats row broadcast as
+    literals via a cross-join of a 1-row frame, and the final score is
+    one groupBy(doc) + top-k window. Nothing quadratic; the corpus
+    never shuffles except the (term,doc)-keyed postings build.
+
+    Returns (rank, id_col, score_micro) — score in integer micro-units
+    so ranking is exact cross-engine (ties broken by id).
+    """
+    q_terms = sorted({t for t in _split_query(query)})
+    if not q_terms:
+        raise ValueError("query has no tokens")
+    post = term_postings(docs, id_col, text_col)
+    stats = docs.select(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.avg(F.size(_tokens(text_col))).alias("avgdl"),
+    )
+    hits = post.filter(F.col("term").isin(q_terms))
+    df_tbl = hits.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    scored = (
+        hits.join(F.broadcast(df_tbl), "term")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "idf",
+            F.log(
+                F.lit(1.0)
+                + (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+            ),
+        )
+        .withColumn(
+            "_s",
+            F.col("idf")
+            * F.col("tf")
+            * F.lit(k1 + 1.0)
+            / (
+                F.col("tf")
+                + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.col("avgdl"))
+            ),
+        )
+        .groupBy(id_col)
+        .agg(F.round(F.lit(1e6) * F.sum("_s")).cast("bigint").alias("score_micro"))
+    )
+    w = Window.orderBy(F.desc("score_micro"), F.col(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("rank", id_col, "score_micro")
+    )
+
+
+def _split_query(query: str) -> list[str]:
+    import re
+
+    return [t for t in re.split(r"[^a-z0-9]+", query.lower().strip()) if t]
+
+
+def log_templates(
+    docs: DataFrame, id_col: str = "conv_id", text_col: str = "text"
+) -> DataFrame:
+    """Log-template mining (a Drain-style first pass, closed-form):
+    collapse every token containing a digit to ``<*>`` after
+    whitespace normalization, then profile each template — event
+    count, distinct-source count, and the smallest raw example id as a
+    deterministic evidence pointer. Turns a billion raw log lines into
+    the few hundred shapes worth alerting on; pure codegen projection
+    + one hash aggregate (template key), no Python, no window."""
+    norm = F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " ")
+    template = F.regexp_replace(norm, r"\S*\d\S*", "<*>")
+    return (
+        docs.filter(F.col(text_col).isNotNull())
+        .select(F.col(id_col), template.alias("template"))
+        .groupBy("template")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct(id_col).alias("n_sources"),
+            F.min(id_col).alias("first_source"),
+        )
+    )

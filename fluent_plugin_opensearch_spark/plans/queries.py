@@ -1893,6 +1893,63 @@ hits AS (SELECT DISTINCT d.doc_id, b.bench_id FROM doc_ngrams d JOIN bench b ON 
 SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bench_hits, CAST(min(bench_id) AS BIGINT) AS first_bench_id
 FROM hits GROUP BY doc_id"""
 
+def q_bm25_topk(spark, sf_dir):
+    """BM25 search over the documents table for a fixed query — the
+    complementary read-side capability to the reference's ingest path.
+    Scores quantized to integer micro-units so the ranking replays
+    bit-identically in DuckDB."""
+    from ..operators.search import bm25_topk
+
+    return bm25_topk(_docs(spark, sf_dir), "hash join merge", k=10)
+
+
+O_BM25 = r"""
+WITH d AS (SELECT doc_id,
+             list_filter(string_split_regex(lower(trim(text)), '[^a-z0-9]+'), t -> t <> '') AS toks
+           FROM documents),
+post AS (SELECT doc_id, u.t AS term, count(*) AS tf FROM d, unnest(toks) AS u(t) GROUP BY 1, 2),
+dl AS (SELECT doc_id, len(toks) AS dl FROM d),
+stats AS (SELECT count(*) AS n_docs, avg(len(toks)) AS avgdl FROM d),
+hits AS (SELECT * FROM post WHERE term IN ('hash', 'join', 'merge')),
+dfs AS (SELECT term, count(*) AS df FROM hits GROUP BY 1),
+scored AS (
+  SELECT h.doc_id,
+    CAST(round(1000000 * sum(
+      ln(1 + (s.n_docs - f.df + 0.5) / (f.df + 0.5)) * h.tf * 2.2
+      / (h.tf + 1.2 * (0.25 + 0.75 * l.dl / s.avgdl)))) AS BIGINT) AS score_micro
+  FROM hits h JOIN dfs f USING (term) JOIN dl l USING (doc_id), stats s
+  GROUP BY 1),
+sel AS (SELECT doc_id, score_micro,
+          CAST(row_number() OVER (ORDER BY score_micro DESC, doc_id) AS INT) AS rank
+        FROM scored)
+SELECT rank, doc_id, score_micro FROM sel WHERE rank <= 10"""
+
+
+def q_log_templates(spark, sf_dir):
+    """Drain-style log-template mining over transcript text: collapse
+    digit-bearing tokens to <*>, profile each template (event count,
+    distinct conversations, smallest example conv as the evidence
+    pointer) — a billion raw lines become the few hundred shapes worth
+    alerting on."""
+    from ..operators.search import log_templates
+
+    return log_templates(_t(spark, sf_dir), id_col="conv_id", text_col="text")
+
+
+O_LOG_TEMPLATES = (
+    ORACLE_PREFIX
+    + r"""
+, t AS (SELECT conv_id,
+          regexp_replace(regexp_replace(trim(text), '\s+', ' ', 'g'), '\S*\d\S*', '<*>', 'g')
+            AS template
+        FROM transcripts WHERE text IS NOT NULL)
+SELECT template, CAST(count(*) AS BIGINT) AS n_events,
+  CAST(count(DISTINCT conv_id) AS BIGINT) AS n_sources,
+  min(conv_id) AS first_source
+FROM t GROUP BY 1"""
+)
+
+
 #: per-mille split boundaries used by the corpus_splits query
 _SPLITS = {"train": 900, "val": 50, "test": 50}
 
@@ -2671,6 +2728,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tool_transitions": q_tool_transitions,
     "quality_filter": q_quality_filter,
     "knn_label_vote": q_knn_label_vote,
+    "bm25_topk": q_bm25_topk,
+    "log_templates": q_log_templates,
 }
 
 ORACLES: dict[str, str] = {
@@ -2754,4 +2813,6 @@ ORACLES: dict[str, str] = {
     "tool_transitions": O_TOOL_TRANSITIONS,
     "semantic_clusters": O_SEMANTIC_CLUSTERS,
     "semdedup_corpus": O_SEMDEDUP,
+    "bm25_topk": O_BM25,
+    "log_templates": O_LOG_TEMPLATES,
 }

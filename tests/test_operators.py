@@ -865,3 +865,70 @@ def test_semdedup_drops_planted_copies_and_guard(spark):
         for r in DS.semdedup_keep(allv, clusters, 0.99, max_cluster_size=1).collect()
     }
     assert kept_guarded == all_ids
+
+
+def test_bm25_python_parity(spark):
+    """Random word corpora: bm25_topk must equal an independent pure-
+    Python BM25 (Lucene idf variant) on ranking AND micro-quantized
+    scores."""
+    import math
+    import random
+
+    rng = random.Random(7)
+    vocab = [f"w{i}" for i in range(30)]
+    docs = {
+        i: " ".join(rng.choice(vocab) for _ in range(rng.randint(5, 40)))
+        for i in range(80)
+    }
+    query = "w0 w1 w2"
+    k1, b = 1.2, 0.75
+
+    toks = {i: t.split() for i, t in docs.items()}
+    n = len(docs)
+    avgdl = sum(len(t) for t in toks.values()) / n
+    scores = {}
+    for term in query.split():
+        df = sum(1 for t in toks.values() if term in t)
+        if df == 0:
+            continue
+        idf = math.log(1 + (n - df + 0.5) / (df + 0.5))
+        for i, t in toks.items():
+            tf = t.count(term)
+            if tf:
+                s = idf * tf * (k1 + 1) / (tf + k1 * (1 - b + b * len(t) / avgdl))
+                scores[i] = scores.get(i, 0.0) + s
+    micro = {i: int(round(1e6 * s)) for i, s in scores.items()}
+    expected = sorted(micro.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+
+    from fluent_plugin_opensearch_spark.operators.search import bm25_topk
+
+    df = spark.createDataFrame(list(docs.items()), ["doc_id", "text"])
+    got = [
+        (r["doc_id"], r["score_micro"])
+        for r in bm25_topk(df, query, k=10).orderBy("rank").collect()
+    ]
+    assert got == expected
+
+
+def test_log_templates_planted(spark):
+    """Digit-bearing tokens collapse to <*>; whitespace normalizes;
+    counts and evidence pointers are exact."""
+    from fluent_plugin_opensearch_spark.operators.search import log_templates
+
+    rows = [
+        ("c1", "GET /api/user/123 took 45ms"),
+        ("c2", "GET   /api/user/999 took  7ms"),
+        ("c1", "cache miss for key alpha"),
+        ("c3", "cache miss for key alpha"),
+        ("c4", None),
+    ]
+    out = {
+        r["template"]: (r["n_events"], r["n_sources"], r["first_source"])
+        for r in log_templates(
+            spark.createDataFrame(rows, ["conv_id", "text"])
+        ).collect()
+    }
+    assert out == {
+        "GET <*> took <*>": (2, 2, "c1"),
+        "cache miss for key alpha": (2, 2, "c1"),
+    }
