@@ -2630,9 +2630,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "error_taxonomy": q_error_taxonomy,
     "affinity_routing": q_affinity_routing,
     "semdedup_corpus": q_semdedup_corpus,
-    "missing_id_dlq": q_missing_id_dlq,
+    "bm25_topk": q_bm25_topk,
     "retry_union": q_retry_union,
-    "per_conv_stats": q_per_conv_stats,
+    "log_templates": q_log_templates,
     "chunk_dedup": q_chunk_dedup,
     "props_json": q_props_json,
     "dedup_exact": q_dedup_exact,
@@ -2728,8 +2728,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tool_transitions": q_tool_transitions,
     "quality_filter": q_quality_filter,
     "knn_label_vote": q_knn_label_vote,
-    "bm25_topk": q_bm25_topk,
-    "log_templates": q_log_templates,
+    "missing_id_dlq": q_missing_id_dlq,
+    "per_conv_stats": q_per_conv_stats,
 }
 
 ORACLES: dict[str, str] = {
