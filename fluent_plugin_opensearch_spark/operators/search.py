@@ -35,17 +35,22 @@ def term_postings(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
     """Inverted-index postings: one row per (term, doc) with the term
-    frequency and the doc's token length. One explode + one hash
-    aggregate; at scale, write it bucketed by term so every query's
-    postings lookup is a bucket-local scan."""
+    frequency and the doc's token length. The token array is
+    materialized ONCE (CLAUDE.md lambda-recompute gotcha) and the doc
+    length rides the exploded rows into the aggregate key — one
+    explode + one hash aggregate, no corpus-by-id join. At scale,
+    write it bucketed by term so every query's postings lookup is a
+    bucket-local scan."""
     return (
-        docs.select(F.col(id_col), F.explode(_tokens(text_col)).alias("term"))
-        .groupBy("term", id_col)
-        .agg(F.count(F.lit(1)).alias("tf"))
-        .join(
-            docs.select(F.col(id_col), F.size(_tokens(text_col)).alias("dl")),
-            id_col,
+        docs.select(F.col(id_col), _tokens(text_col).alias("_t"))
+        .select(
+            F.col(id_col),
+            F.size("_t").alias("dl"),
+            F.explode("_t").alias("term"),
         )
+        .groupBy("term", id_col, "dl")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .select("term", id_col, "tf", "dl")
     )
 
 

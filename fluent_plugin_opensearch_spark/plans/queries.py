@@ -1615,8 +1615,9 @@ def q_semantic_clusters(spark, sf_dir):
 
 
 O_SEMANTIC_CLUSTERS = r"""
-WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(round(1000000 * x) AS BIGINT)) AS q
-           FROM embeddings),
+WITH e AS (SELECT vec_id,
+        list_transform(embedding, x -> CAST(round(1000000 * CAST(x AS DOUBLE)) AS BIGINT)) AS q
+      FROM embeddings),
 init AS (SELECT q, row_number() OVER (ORDER BY md5(cast(vec_id AS STRING)), vec_id) - 1 AS c
          FROM e QUALIFY c < 4),
 dims AS (SELECT vec_id, CAST(u.i AS INT) AS d, q[CAST(u.i AS INT)] AS x
@@ -1627,7 +1628,7 @@ a1 AS (SELECT vec_id, c FROM (
          SELECT dims.vec_id, c0.c, sum((dims.x - c0.x) * (dims.x - c0.x)) AS dist
          FROM dims JOIN c0 USING (d) GROUP BY 1, 2)
        QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist, c) = 1),
-c1 AS (SELECT a1.c, dims.d, CAST(trunc(CAST(sum(dims.x) AS DOUBLE) / count(*)) AS BIGINT) AS x
+c1 AS (SELECT a1.c, dims.d, CAST(sum(dims.x) // count(*) AS BIGINT) AS x
        FROM dims JOIN a1 USING (vec_id) GROUP BY 1, 2),
 a2 AS (SELECT vec_id, c FROM (
          SELECT dims.vec_id, c1.c, sum((dims.x - c1.x) * (dims.x - c1.x)) AS dist
@@ -1669,7 +1670,7 @@ a1 AS (SELECT vec_id, c FROM (
          SELECT dims.vec_id, c0.c, sum((dims.x - c0.x) * (dims.x - c0.x)) AS dist
          FROM dims JOIN c0 USING (d) GROUP BY 1, 2)
        QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist, c) = 1),
-c1 AS (SELECT a1.c, dims.d, CAST(trunc(CAST(sum(dims.x) AS DOUBLE) / count(*)) AS BIGINT) AS x
+c1 AS (SELECT a1.c, dims.d, CAST(sum(dims.x) // count(*) AS BIGINT) AS x
        FROM dims JOIN a1 USING (vec_id) GROUP BY 1, 2),
 a2 AS (SELECT vec_id, c FROM (
          SELECT dims.vec_id, c1.c, sum((dims.x - c1.x) * (dims.x - c1.x)) AS dist

@@ -186,11 +186,15 @@ class SinkCatalog:
 
     def _record_snapshot(self, m: dict, version: int) -> None:
         """Append the post-commit partition map to the bounded snapshot
-        log (no-op at the default retention of 1 — the current state IS
-        the only snapshot, and the manifest stays byte-identical to the
-        history-free layout)."""
+        log. At the default retention of 1 nothing is appended (a fresh
+        table's manifest stays byte-identical to the history-free
+        layout) — but an EXISTING log is left untouched: retention
+        lives on the catalog object, and a maintenance job or pipeline
+        run constructed with the default must never silently destroy
+        history (and thereby let vacuum GC snapshot-protected version
+        dirs) that a history-keeping writer built. Dropping history is
+        an explicit act: ``expire_snapshots``."""
         if self.snapshots_kept <= 1:
-            m.pop("snapshots", None)
             return
         log = m.get("snapshots", [])
         log.append(

@@ -103,13 +103,19 @@ def main(argv: list[str]) -> None:
             # eval-suite-sized table — don't broadcast its n-grams;
             # the check degrades to a hash join on the gram, still
             # linear (contamination_check docstring sizes the knob)
+            # persist: the n-gram explode+join is the job's most
+            # expensive stage and feeds BOTH the count and the
+            # anti-join — without the cache it would run twice
+            # (CLAUDE.md: an unpersisted join re-ran a whole chain at
+            # 1.7x). The cached set is one small row per contaminated
+            # doc.
             contam = contamination_check(
                 train,
                 holdout.select(F.col("doc_id").alias("bench_id"), "text"),
                 n=args.decontaminate_ngram,
                 broadcast_bench=False,
-            )
-            n_leaked = contam.count()  # one row per contaminated doc
+            ).persist()
+            n_leaked = contam.count()  # materializes the cache
             train = train.join(contam.select("doc_id"), "doc_id", "left_anti")
             split_stats["train_dropped_contaminated"] = n_leaked
         docs = train

@@ -417,3 +417,23 @@ def test_default_catalog_keeps_no_history(spark, tmp_path):
     assert cat.snapshots("sink") == [cat.manifest("sink")["current_version"]]
     with pytest.raises(ValueError, match="no retained snapshot"):
         cat.read(spark, "sink", version=v1)
+
+
+def test_default_catalog_preserves_existing_history(spark, tmp_path):
+    """A commit through a default-retention catalog (e.g. a
+    maintenance job constructed without snapshots_kept) must leave a
+    table's existing snapshot log — and the version dirs it protects —
+    fully intact; only expire_snapshots drops history."""
+    hist = SinkCatalog(str(tmp_path), snapshots_kept=8)
+    cfg = PipelineConfig(write_operation="index", id_key="_id")
+    merge_write(spark, _df(spark, [("a", "i1", 1)]), hist, cfg)
+    v1 = hist.manifest("sink")["current_version"]
+    merge_write(spark, _df(spark, [("a", "i1", 2)]), hist, cfg)
+
+    plain = SinkCatalog(str(tmp_path))  # default retention
+    merge_write(spark, _df(spark, [("a", "i1", 3)]), plain, cfg)  # merge + vacuum
+    # history survived the default-catalog commit and its vacuum
+    assert v1 in plain.snapshots("sink")
+    old = {r["_id"]: r["v"] for r in plain.read(spark, "sink", version=v1).collect()}
+    assert old == {"a": 1}
+    assert {r["_id"]: r["v"] for r in plain.read(spark, "sink").collect()} == {"a": 3}
