@@ -1323,14 +1323,14 @@ def _tdiv(s: int, n: int) -> int:
     return -q if s < 0 else q
 
 
-def kmeans_assign(
+def kmeans_fit(
     emb: DataFrame,
     k: int = 4,
     n_assign: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     scale: int = 1_000_000,
-) -> DataFrame:
+) -> tuple[list[tuple[int, list[int]]], DataFrame]:
     """Deterministic Lloyd k-means over integer-quantized embeddings —
     the clustering stage of SemDeDup-style semantic dedup (cluster
     first, search near-dups only within clusters) and of IVF index
@@ -1355,7 +1355,10 @@ def kmeans_assign(
     the driver (the canonical Lloyd-on-Spark shape). Clusters that go
     empty simply drop out of the next pass (mirrored by the oracle).
 
-    Returns (id_col, cluster).
+    Returns ``(centroids, assigned)``: the final centroid table as a
+    Python list of (cluster, quantized-vector) pairs — the IVF probe
+    side — and the assignment frame (id_col, ``_q`` quantized vector,
+    cluster). ``kmeans_assign`` is the (id, cluster)-only wrapper.
     """
     q = F.transform(
         F.col(vec_col), lambda x: F.round(x * F.lit(float(scale))).cast("long")
@@ -1395,7 +1398,81 @@ def kmeans_assign(
             (c, [dims[d] for d in sorted(dims)]) for c, dims in sorted(by_c.items())
         ]
         assigned = base.withColumn("cluster", assign_expr(centroids))
+    return centroids, assigned
+
+
+def kmeans_assign(
+    emb: DataFrame,
+    k: int = 4,
+    n_assign: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """(id, cluster) assignments from ``kmeans_fit`` — see there."""
+    _, assigned = kmeans_fit(emb, k, n_assign, id_col, vec_col, scale)
     return assigned.select(id_col, "cluster")
+
+
+def ivf_kmeans_topk(
+    emb: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    n_cells: int = 4,
+    n_probe: int = 2,
+    n_assign: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """IVF ANN with a deterministic k-means coarse quantizer — the
+    classic FAISS IVF-Flat shape re-expressed in DataFrame ops, and
+    (unlike float IVF) EXACT end to end: the coarse cells, the probe
+    selection, and the final ranking all use the same integer-quantized
+    squared-L2, so the whole index+search chain replays in DuckDB.
+
+    Per query: rank the k-means centroids by exact integer distance,
+    take the ``n_probe`` nearest cells (computed driver-side over the
+    k×d centroid table — the probe step is O(k·d), never a scan), then
+    scan ONLY those cells' members (an equi-join of the broadcast
+    (q_id, cell) probe table against the cell-keyed assignments) and
+    rank candidates by exact distance with id tie-break. Searched
+    fraction ≈ n_probe/n_cells of the corpus — the IVF speed/recall
+    dial.
+
+    Returns (q_id, neighbor_id, rank, dist).
+    """
+    cents, assigned = kmeans_fit(emb, n_cells, n_assign, id_col, vec_col, scale)
+    spark = emb.sparkSession
+    qrows = assigned.filter(F.col(id_col).isin(query_ids)).select(id_col, "_q").collect()
+    probe_rows = []
+    qvec_rows = []
+    for r in qrows:
+        qv = list(r["_q"])
+        qvec_rows.append((r[id_col], qv))
+        dists = sorted(
+            (sum((x - c) * (x - c) for x, c in zip(qv, cv)), j) for j, cv in cents
+        )
+        probe_rows.extend((r[id_col], j) for _, j in dists[:n_probe])
+    probes = spark.createDataFrame(probe_rows, "q_id long, cluster int")
+    qvecs = spark.createDataFrame(qvec_rows, "q_id long, qv array<bigint>")
+    dist = F.aggregate(
+        F.zip_with("_q", "qv", lambda x, c: (x - c) * (x - c)),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    cand = (
+        assigned.join(F.broadcast(probes), "cluster")
+        .filter(F.col(id_col) != F.col("q_id"))
+        .join(F.broadcast(qvecs), "q_id")
+        .withColumn("dist", dist)
+    )
+    w = Window.partitionBy("q_id").orderBy("dist", F.col(id_col))
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", F.col(id_col).alias("neighbor_id"), "rank", "dist")
+    )
 
 
 def semdedup_keep(

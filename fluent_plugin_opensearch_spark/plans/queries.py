@@ -1686,6 +1686,56 @@ SELECT c AS cluster, CAST(count(*) AS BIGINT) AS n_kept, CAST(sum(vec_id) AS BIG
 FROM kept GROUP BY c"""
 
 
+def q_ivf_kmeans_topk(spark, sf_dir):
+    """IVF-Flat ANN with the deterministic k-means coarse quantizer:
+    probe the 2 nearest of 4 cells per query, rank candidates by exact
+    integer squared-L2 — the whole index+search chain (cells, probes,
+    ranking) replays in DuckDB, so the production IVF path itself is
+    oracle-checked, not a proxy."""
+    return DS.ivf_kmeans_topk(
+        _emb(spark, sf_dir), query_ids=[0, 1, 2, 3, 4], k=10, n_cells=4, n_probe=2
+    )
+
+
+O_IVF_KMEANS = r"""
+WITH e AS (SELECT vec_id,
+        list_transform(embedding, x -> CAST(round(1000000 * CAST(x AS DOUBLE)) AS BIGINT)) AS q
+      FROM embeddings),
+init AS (SELECT q, row_number() OVER (ORDER BY md5(cast(vec_id AS STRING)), vec_id) - 1 AS c
+         FROM e QUALIFY c < 4),
+dims AS (SELECT vec_id, CAST(u.i AS INT) AS d, q[CAST(u.i AS INT)] AS x
+         FROM e, unnest(range(1, 65)) AS u(i)),
+c0 AS (SELECT c, CAST(u.i AS INT) AS d, q[CAST(u.i AS INT)] AS x
+       FROM init, unnest(range(1, 65)) AS u(i)),
+a1 AS (SELECT vec_id, c FROM (
+         SELECT dims.vec_id, c0.c, sum((dims.x - c0.x) * (dims.x - c0.x)) AS dist
+         FROM dims JOIN c0 USING (d) GROUP BY 1, 2)
+       QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist, c) = 1),
+c1 AS (SELECT a1.c, dims.d, CAST(sum(dims.x) // count(*) AS BIGINT) AS x
+       FROM dims JOIN a1 USING (vec_id) GROUP BY 1, 2),
+a2 AS (SELECT vec_id, c FROM (
+         SELECT dims.vec_id, c1.c, sum((dims.x - c1.x) * (dims.x - c1.x)) AS dist
+         FROM dims JOIN c1 USING (d) GROUP BY 1, 2)
+       QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist, c) = 1),
+qdims AS (SELECT vec_id AS q_id, d, x FROM dims WHERE vec_id IN (0, 1, 2, 3, 4)),
+probes AS (SELECT q_id, c FROM (
+             SELECT qdims.q_id, c1.c, sum((qdims.x - c1.x) * (qdims.x - c1.x)) AS dist
+             FROM qdims JOIN c1 USING (d) GROUP BY 1, 2)
+           QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY dist, c) <= 2),
+cand AS (SELECT p.q_id, a2.vec_id FROM probes p JOIN a2 USING (c)
+         WHERE a2.vec_id <> p.q_id),
+cd AS (SELECT cand.q_id, cand.vec_id, CAST(sum((dims.x - qdims.x) * (dims.x - qdims.x)) AS BIGINT) AS dist
+       FROM cand
+       JOIN dims ON dims.vec_id = cand.vec_id
+       JOIN qdims ON qdims.q_id = cand.q_id AND qdims.d = dims.d
+       GROUP BY 1, 2)
+SELECT q_id, vec_id AS neighbor_id, rank, dist FROM (
+  SELECT q_id, vec_id, dist,
+    CAST(row_number() OVER (PARTITION BY q_id ORDER BY dist, vec_id) AS INT) AS rank
+  FROM cd)
+WHERE rank <= 10"""
+
+
 def q_ivf_recall(spark, sf_dir):
     """Recall@10 of the IVF/sign-LSH ANN path against the exact
     brute-force top-k, as an ORACLE-CHECKED integer query (VERDICT r2
@@ -2731,6 +2781,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "knn_label_vote": q_knn_label_vote,
     "missing_id_dlq": q_missing_id_dlq,
     "per_conv_stats": q_per_conv_stats,
+    "ivf_kmeans_topk": q_ivf_kmeans_topk,
 }
 
 ORACLES: dict[str, str] = {
@@ -2816,4 +2867,5 @@ ORACLES: dict[str, str] = {
     "semdedup_corpus": O_SEMDEDUP,
     "bm25_topk": O_BM25,
     "log_templates": O_LOG_TEMPLATES,
+    "ivf_kmeans_topk": O_IVF_KMEANS,
 }

@@ -932,3 +932,34 @@ def test_log_templates_planted(spark):
         "GET <*> took <*>": (2, 2, "c1"),
         "cache miss for key alpha": (2, 2, "c1"),
     }
+
+
+def test_ivf_kmeans_full_probe_equals_bruteforce(spark):
+    """With n_probe == n_cells (probe everything) the IVF result must
+    equal a pure-Python brute-force integer-L2 top-k — same
+    quantization, same tie-break."""
+    import random
+
+    rng = random.Random(11)
+    vecs = {i: [rng.uniform(-1, 1) for _ in range(6)] for i in range(50)}
+    df = spark.createDataFrame(
+        [(i, v) for i, v in vecs.items()], "vec_id long, embedding array<double>"
+    )
+    q = {i: [int(round(x * 1e6)) for x in v] for i, v in vecs.items()}
+
+    def brute(qid, k):
+        d = sorted(
+            (sum((a - b) * (a - b) for a, b in zip(q[i], q[qid])), i)
+            for i in q
+            if i != qid
+        )
+        return [(qid, i, r + 1, dist) for r, (dist, i) in enumerate(d[:k])]
+
+    expected = [t for qid in (0, 1, 2) for t in brute(qid, 5)]
+    got = [
+        (r["q_id"], r["neighbor_id"], r["rank"], r["dist"])
+        for r in DS.ivf_kmeans_topk(
+            df, query_ids=[0, 1, 2], k=5, n_cells=3, n_probe=3
+        ).orderBy("q_id", "rank").collect()
+    ]
+    assert got == expected
