@@ -113,9 +113,22 @@ def bm25_topk(
         .groupBy(id_col)
         .agg(F.round(F.lit(1e6) * F.sum("_s")).cast("bigint").alias("score_micro"))
     )
+    # exact two-phase top-k (the quota_top_per_stratum prefilter
+    # shape): a common query term can match most of the corpus, so the
+    # global ranking window must never see the full match set — each
+    # task keeps its local top-k first (a row outside its partition's
+    # top-k cannot be in the global top-k), bounding the single-task
+    # window to k × num_partitions rows.
+    w_local = Window.partitionBy("_pid").orderBy(F.desc("score_micro"), F.col(id_col))
+    pre = (
+        scored.withColumn("_pid", F.spark_partition_id())
+        .withColumn("_lr", F.row_number().over(w_local))
+        .filter(F.col("_lr") <= k)
+        .drop("_pid", "_lr")
+    )
     w = Window.orderBy(F.desc("score_micro"), F.col(id_col))
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        pre.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("rank", id_col, "score_micro")
     )
