@@ -1033,3 +1033,41 @@ def test_build_training_set_job_splits(spark, tmp_path, capsys):
         "val": sum(1 for s in split_map.values() if s == "val"),
         "test": sum(1 for s in split_map.values() if s == "test"),
     }
+
+
+def test_search_logs_job_over_pipeline_sinks(spark, tmp_path, capsys):
+    """Ingest-then-search e2e: run the record pipeline into sink
+    tables, then the search job must rank parsed turns by BM25 over
+    the routed snapshot and mine their templates."""
+    import json
+
+    from fluent_plugin_opensearch_spark import PipelineConfig, run_batch
+    from fluent_plugin_opensearch_spark.sinks.writer import SinkCatalog
+    from fluent_plugin_opensearch_spark.sources.transcripts import load_transcripts
+    from jobs.search_logs import main as search_main
+
+    cat = SinkCatalog(str(tmp_path))
+    cfg = PipelineConfig(logstash_format=True, logstash_prefix="logs")
+    t = load_transcripts(spark, "/root/testdata/sf0.001").limit(400)
+    run_batch(spark, t, cfg, cat, batch_id="s1")
+
+    search_main([
+        "--warehouse", str(tmp_path), "--query", "error req", "--k", "5",
+        "--id-col", "conv_id",
+    ])
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["query"] == "error req"
+    assert 1 <= len(out["hits"]) <= 5
+    assert out["hits"][0]["rank"] == 1
+    assert all(h["_index"].startswith("logs-") for h in out["hits"])
+    assert all(h["score_micro"] > 0 for h in out["hits"])
+
+    search_main([
+        "--warehouse", str(tmp_path), "--templates", "--id-col", "conv_id",
+    ])
+    prof = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert prof["templates"]
+    top = prof["templates"][0]
+    assert top["n_events"] >= 1 and "<*>" in " ".join(
+        t["template"] for t in prof["templates"]
+    )
