@@ -381,3 +381,41 @@ def test_split_corpus_is_pure_projection(spark):
     plan = _plan(split_corpus(docs, {"train": 900, "val": 50, "test": 50}))
     assert "Exchange" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_bm25_broadcasts_small_sides_no_python(spark):
+    """BM25's df table and corpus stats must broadcast (the corpus
+    never reshuffles for them); no Python in the plan; the ranking
+    window is fed by the local-top-k prefilter, never the raw match
+    set."""
+    from fluent_plugin_opensearch_spark.operators.search import bm25_topk
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    plan = _plan(bm25_topk(docs, "hash join merge", k=10))
+    assert "BroadcastExchange" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_ivf_kmeans_probe_join_is_broadcast(spark):
+    """The (q_id, cell) probe table and query vectors broadcast into
+    the cell-keyed candidate join — the corpus side is touched only
+    through the probed cells; no Python anywhere."""
+    from fluent_plugin_opensearch_spark.operators import dataset as DS
+
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    plan = _plan(DS.ivf_kmeans_topk(emb, query_ids=[0, 1], k=5, n_cells=3, n_probe=2))
+    assert plan.count("BroadcastExchange") >= 2
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_log_templates_is_projection_plus_agg(spark):
+    """Template mining must stay a codegen projection + one hash
+    aggregate: no window, no Python."""
+    from fluent_plugin_opensearch_spark.operators.search import log_templates
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").selectExpr(
+        "cast(doc_id AS string) AS conv_id", "text"
+    )
+    plan = _plan(log_templates(docs))
+    assert "Window" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
