@@ -140,6 +140,14 @@ def _split_query(query: str) -> list[str]:
     return [t for t in re.split(r"[^a-z0-9]+", query.lower().strip()) if t]
 
 
+def template_expr(text_col: str):
+    """The template normalization shared by batch mining and the
+    streaming drift rollup: whitespace-normalize, collapse every
+    digit-bearing token to ``<*>``."""
+    norm = F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " ")
+    return F.regexp_replace(norm, r"\S*\d\S*", "<*>")
+
+
 def log_templates(
     docs: DataFrame, id_col: str = "conv_id", text_col: str = "text"
 ) -> DataFrame:
@@ -150,8 +158,7 @@ def log_templates(
     deterministic evidence pointer. Turns a billion raw log lines into
     the few hundred shapes worth alerting on; pure codegen projection
     + one hash aggregate (template key), no Python, no window."""
-    norm = F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " ")
-    template = F.regexp_replace(norm, r"\S*\d\S*", "<*>")
+    template = template_expr(text_col)
     return (
         docs.filter(F.col(text_col).isNotNull())
         .select(F.col(id_col), template.alias("template"))

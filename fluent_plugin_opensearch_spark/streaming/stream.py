@@ -254,6 +254,7 @@ def heavy_hitter_rollup_stream(
     available_now: bool = True,
     processing_time: str = "60 seconds",
     table: str = "hh_rollup",
+    key_col: str = "conv_id",
 ):
     """EXACT per-window heavy-hitter rollup on the streaming path
     (STATUS round-4 item): windowed (window × conv_id) counts in
@@ -276,11 +277,11 @@ def heavy_hitter_rollup_stream(
     counts = (
         source.withColumn("ts", F.col("ts").cast("timestamp"))
         .withWatermark("ts", watermark)
-        .groupBy(F.window("ts", window).alias("w"), F.col("conv_id"))
+        .groupBy(F.window("ts", window).alias("w"), F.col(key_col))
         .agg(F.count(F.lit(1)).alias("n_turns"))
         .select(
             F.date_format(F.col("w.start"), "yyyy-MM-dd HH").alias("hour"),
-            "conv_id",
+            key_col,
             "n_turns",
         )
     )
@@ -289,7 +290,7 @@ def heavy_hitter_rollup_stream(
     def process(batch_df: DataFrame, batch_id: int) -> None:
         batch = batch_df.withColumn(
             "_index", F.concat(F.lit("hh-"), F.substring("hour", 1, 10))
-        ).withColumn("_id", F.concat_ws("|", "hour", "conv_id"))
+        ).withColumn("_id", F.concat_ws("|", "hour", key_col))
         merge_write(spark, batch, catalog, cfg, table=table)
 
     writer = (
@@ -311,6 +312,44 @@ def top_k_from_rollup(rollup: DataFrame, k: int = 3) -> DataFrame:
     from ..operators.sessions import rank_top_k
 
     return rank_top_k(rollup, "hour", k)
+
+
+def template_drift_stream(
+    spark: SparkSession,
+    source: DataFrame,
+    catalog: SinkCatalog,
+    checkpoint_dir: str,
+    window: str = "1 hour",
+    watermark: str = "24 hours",
+    available_now: bool = True,
+    processing_time: str = "60 seconds",
+    table: str = "template_rollup",
+):
+    """Template-drift monitoring: mine each line's log template
+    (search.template_expr — the SAME normalization as the batch miner,
+    so batch and stream can never disagree on what a template is) and
+    maintain the exact per-window template rollup via the
+    heavy-hitter MERGE stream. A new crash/error shape surfacing in
+    the stream shows up as a new template key whose count climbs —
+    query-time rank over the rollup gives the drilldown, the stream
+    itself only ever maintains counts (incrementally correct)."""
+    from ..operators.search import template_expr
+
+    lines = source.filter(F.col("text").isNotNull()).withColumn(
+        "template", template_expr("text")
+    )
+    return heavy_hitter_rollup_stream(
+        spark,
+        lines,
+        catalog,
+        checkpoint_dir,
+        window=window,
+        watermark=watermark,
+        available_now=available_now,
+        processing_time=processing_time,
+        table=table,
+        key_col="template",
+    )
 
 
 def mg_merge(d: dict, batch_counts: dict, capacity: int) -> dict:

@@ -545,3 +545,38 @@ def test_ingest_dedup_stream_accumulates_index(spark, tmp_path):
     # third drain, no new files: nothing changes
     run()
     assert cat.read(spark, "corpus").count() == 4
+
+
+def test_template_drift_stream_matches_batch_miner(spark, tmp_path):
+    """Streamed template rollup across a multi-batch drain equals the
+    batch log_templates event counts exactly (same normalization
+    expression, update-mode cumulative upserts)."""
+    from fluent_plugin_opensearch_spark.operators.search import log_templates
+    from fluent_plugin_opensearch_spark.streaming.stream import (
+        TRANSCRIPTS_SCHEMA,
+        template_drift_stream,
+    )
+
+    src_dir = str(tmp_path / "td_src")
+    t = load_transcripts(spark, SF_SMOKE)
+    t.repartition(6).write.parquet(src_dir)
+    cat = SinkCatalog(str(tmp_path / "td_wh"))
+    source = (
+        spark.readStream.schema(TRANSCRIPTS_SCHEMA)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(src_dir)
+    )
+    q = template_drift_stream(
+        spark, source, cat, str(tmp_path / "td_ckpt"),
+        window="1 hour", watermark="45 days",
+    )
+    q.awaitTermination(180)
+
+    rollup = cat.read(spark, "template_rollup").select("hour", "template", "n_turns")
+    got: dict[str, int] = {}
+    for r in rollup.collect():
+        got[r["template"]] = got.get(r["template"], 0) + r["n_turns"]
+    want = {
+        r["template"]: r["n_events"] for r in log_templates(t).collect()
+    }
+    assert got == want
