@@ -563,6 +563,49 @@ FROM seq WHERE prev_tool IS NOT NULL GROUP BY 1, 2"""
 )
 
 
+def q_conv_render(spark, sf_dir):
+    """Render each conversation into one training document: turns in
+    stable (conv_id, turn_idx) order (O4), 'role: text' lines joined
+    by newline — the transcripts→documents bridge a training-data
+    pipeline runs before curation. One hash aggregate; the sort is
+    per-conversation inside array_sort, never a global orderBy.
+    Output profiled as (conv_id, n_lines, render_sha) so the full
+    rendered string is value-checked without shipping megabytes
+    through the compare."""
+    t = _t(spark, sf_dir).filter(F.col("text").isNotNull())
+    rendered = (
+        t.groupBy("conv_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("turn_idx", "role", "text"))
+            ).alias("_turns")
+        )
+        .select(
+            "conv_id",
+            F.size("_turns").alias("n_lines"),
+            F.sha2(
+                F.array_join(
+                    F.transform(
+                        "_turns", lambda x: F.concat(x["role"], F.lit(": "), x["text"])
+                    ),
+                    "\n",
+                ),
+                256,
+            ).alias("render_sha"),
+        )
+    )
+    return rendered
+
+
+O_CONV_RENDER = (
+    ORACLE_PREFIX
+    + """
+SELECT conv_id, CAST(count(*) AS BIGINT) AS n_lines,
+  sha256(string_agg(role || ': ' || text, chr(10) ORDER BY turn_idx)) AS render_sha
+FROM transcripts WHERE text IS NOT NULL GROUP BY 1"""
+)
+
+
 def q_chunk_dedup(spark, sf_dir):
     """P7 analog: replayed-chunk dedup — double the stream, dedup on
     the natural key, report both counts (chunk-id dedup test pattern,
@@ -2782,6 +2825,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "missing_id_dlq": q_missing_id_dlq,
     "per_conv_stats": q_per_conv_stats,
     "ivf_kmeans_topk": q_ivf_kmeans_topk,
+    "conv_render": q_conv_render,
 }
 
 ORACLES: dict[str, str] = {
@@ -2868,4 +2912,5 @@ ORACLES: dict[str, str] = {
     "bm25_topk": O_BM25,
     "log_templates": O_LOG_TEMPLATES,
     "ivf_kmeans_topk": O_IVF_KMEANS,
+    "conv_render": O_CONV_RENDER,
 }
