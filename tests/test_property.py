@@ -482,3 +482,34 @@ def test_split_corpus_random_python_parity(spark):
             for r in split_corpus(df, splits, salt=salt).collect()
         }
         assert got == expected, f"trial {trial} mismatch"
+
+
+def test_search_tokenize_and_template_random_parity(spark):
+    """Random punctuation-rich strings: the search tokenizer and the
+    log-template normalizer (Java regex side) must match an
+    independent Python `re` evaluation of the same patterns — the
+    dual-dialect claim behind the bm25/log_templates oracles."""
+    import re
+
+    from fluent_plugin_opensearch_spark.operators.search import _tokens, template_expr
+
+    rng = random.Random(424242)
+    chars = string.ascii_letters + string.digits + "  \t.,:;!?/=#@-_[]()%$"
+    rows = [
+        (i, "".join(rng.choice(chars) for _ in range(rng.randint(0, 60))))
+        for i in range(300)
+    ]
+    df = spark.createDataFrame(rows, ["i", "text"])
+    got = {
+        r["i"]: (r["toks"], r["tmpl"])
+        for r in df.select(
+            "i", _tokens("text").alias("toks"), template_expr("text").alias("tmpl")
+        ).collect()
+    }
+    for i, text in rows:
+        # referee note: SQL trim() (Spark AND DuckDB) strips only
+        # ASCII spaces, not tabs — mimic with strip(' '), not strip()
+        toks = [t for t in re.split(r"[^a-z0-9]+", text.lower().strip(" ")) if t]
+        norm = re.sub(r"\s+", " ", text.strip(" "))
+        tmpl = re.sub(r"\S*\d\S*", "<*>", norm)
+        assert got[i] == (toks, tmpl), f"row {i}: {text!r}"
