@@ -73,6 +73,8 @@ BENCH_QUERIES = [
     "mixture_sample",
     "training_shards",
     "winnow_pairs_md5",
+    "semantic_clusters",
+    "bm25_topk",
 ]
 
 CFG = PipelineConfig(logstash_format=True, logstash_prefix="logs")
