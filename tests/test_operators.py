@@ -963,3 +963,29 @@ def test_ivf_kmeans_full_probe_equals_bruteforce(spark):
         ).orderBy("q_id", "rank").collect()
     ]
     assert got == expected
+
+
+def test_search_and_kmeans_edge_cases(spark):
+    """Edge behavior: a query matching nothing returns an empty frame
+    (not an error); k-means with k >= corpus still assigns every
+    vector; a single-split table routes everything to that split."""
+    import pytest
+
+    from fluent_plugin_opensearch_spark.operators.curation import split_corpus
+    from fluent_plugin_opensearch_spark.operators.search import bm25_topk
+
+    docs = spark.createDataFrame(
+        [(0, "alpha beta"), (1, "beta gamma")], ["doc_id", "text"]
+    )
+    assert bm25_topk(docs, "zzz qqq", k=5).count() == 0
+    with pytest.raises(ValueError, match="no tokens"):
+        bm25_topk(docs, "!!!", k=5)
+
+    vecs = spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(3)], "vec_id long, embedding array<double>"
+    )
+    out = DS.kmeans_assign(vecs, k=5, n_assign=2)
+    assert out.count() == 3  # every vector assigned despite k > n
+
+    one = split_corpus(docs, {"only": 1000})
+    assert {r["split"] for r in one.collect()} == {"only"}
