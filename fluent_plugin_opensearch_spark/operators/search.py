@@ -140,6 +140,43 @@ def _split_query(query: str) -> list[str]:
     return [t for t in re.split(r"[^a-z0-9]+", query.lower().strip()) if t]
 
 
+def tfidf_keywords(
+    docs: DataFrame,
+    k: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-k characteristic terms per document by smoothed TF-IDF
+    (keyword extraction / doc labeling for corpus exploration):
+
+        w(t, d) = tf · ln(1 + N/df(t)),  quantized to micro-units
+
+    One postings build (the term_postings shape), one broadcast df
+    join, one per-doc ranking window — at 10^12 docs the window is
+    per-document (bounded by doc vocabulary), never global. Ties break
+    on the term string for determinism. Returns (id_col, term, rank,
+    w_micro)."""
+    post = term_postings(docs, id_col, text_col)
+    n_docs = F.broadcast(docs.select(F.count(F.lit(1)).alias("n_docs")))
+    df_tbl = F.broadcast(post.groupBy("term").agg(F.count(F.lit(1)).alias("df")))
+    w = Window.partitionBy(id_col).orderBy(F.desc("w_micro"), F.col("term"))
+    return (
+        post.join(df_tbl, "term")
+        .crossJoin(n_docs)
+        .withColumn(
+            "w_micro",
+            F.round(
+                F.lit(1e6)
+                * F.col("tf")
+                * F.log(F.lit(1.0) + F.col("n_docs") / F.col("df"))
+            ).cast("bigint"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(id_col, "term", "rank", "w_micro")
+    )
+
+
 def template_expr(text_col: str):
     """The template normalization shared by batch mining and the
     streaming drift rollup: whitespace-normalize, collapse every

@@ -2019,6 +2019,32 @@ sel AS (SELECT doc_id, score_micro,
 SELECT rank, doc_id, score_micro FROM sel WHERE rank <= 10"""
 
 
+def q_tfidf_keywords(spark, sf_dir):
+    """Top-3 characteristic terms per document by micro-quantized
+    smoothed TF-IDF — keyword labeling for corpus exploration; the
+    ranking window is per-document (bounded by doc vocabulary)."""
+    from ..operators.search import tfidf_keywords
+
+    return tfidf_keywords(_docs(spark, sf_dir), k=3)
+
+
+O_TFIDF = r"""
+WITH d AS (SELECT doc_id,
+             list_filter(string_split_regex(lower(trim(text)), '[^a-z0-9]+'), t -> t <> '') AS toks
+           FROM documents),
+post AS (SELECT doc_id, u.t AS term, count(*) AS tf FROM d, unnest(toks) AS u(t) GROUP BY 1, 2),
+dfs AS (SELECT term, count(*) AS df FROM post GROUP BY 1),
+n AS (SELECT count(*) AS n_docs FROM d),
+scored AS (SELECT post.doc_id, post.term,
+             CAST(round(1000000 * post.tf * ln(1 + n.n_docs / dfs.df)) AS BIGINT) AS w_micro
+           FROM post JOIN dfs USING (term), n)
+SELECT doc_id, term, rank, w_micro FROM (
+  SELECT doc_id, term, w_micro,
+    CAST(row_number() OVER (PARTITION BY doc_id ORDER BY w_micro DESC, term) AS INT) AS rank
+  FROM scored)
+WHERE rank <= 3"""
+
+
 def q_log_templates(spark, sf_dir):
     """Drain-style log-template mining over transcript text: collapse
     digit-bearing tokens to <*>, profile each template (event count,
@@ -2826,6 +2852,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "per_conv_stats": q_per_conv_stats,
     "ivf_kmeans_topk": q_ivf_kmeans_topk,
     "conv_render": q_conv_render,
+    "tfidf_keywords": q_tfidf_keywords,
 }
 
 ORACLES: dict[str, str] = {
@@ -2913,4 +2940,5 @@ ORACLES: dict[str, str] = {
     "log_templates": O_LOG_TEMPLATES,
     "ivf_kmeans_topk": O_IVF_KMEANS,
     "conv_render": O_CONV_RENDER,
+    "tfidf_keywords": O_TFIDF,
 }
