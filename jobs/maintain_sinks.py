@@ -1,0 +1,84 @@
+"""Sink maintenance job — the periodic compaction/retention pass a
+long-running ingest deployment schedules (the Iceberg
+rewrite_data_files + expire_snapshots pair, on the sandbox catalog):
+
+    spark-submit --py-files dist/fposs.zip jobs/maintain_sinks.py \\
+        --warehouse <sink catalog dir> [--tables sink,hh_rollup] \\
+        [--max-versions 1] [--keep-snapshots 1] [--dry-run]
+
+Per table: collapse partitions fragmented across more than
+``--max-versions`` version dirs into one fresh version (atomic
+commit), trim the snapshot log to ``--keep-snapshots`` entries, then
+vacuum unreferenced version dirs. Prints one JSON line with per-table
+counts. ``--dry-run`` reports what would be done without touching
+anything.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+
+def main(argv: list[str]) -> None:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--warehouse", required=True)
+    p.add_argument("--tables", default=None,
+                   help="comma-separated; default: every table dir with a manifest")
+    p.add_argument("--max-versions", type=int, default=1)
+    p.add_argument("--keep-snapshots", type=int, default=0,
+                   help="historical snapshot-log entries to retain; the current\n"
+                        "state is always readable regardless (0 = no time travel,\n"
+                        "matching a history-free catalog)")
+    p.add_argument("--dry-run", action="store_true")
+    args = p.parse_args(argv)
+
+    from pyspark.sql import SparkSession
+
+    from fluent_plugin_opensearch_spark.sinks.writer import SinkCatalog
+
+    cat = SinkCatalog(args.warehouse)
+    if args.tables:
+        tables = [t for t in args.tables.split(",") if t]
+    else:
+        tables = sorted(
+            d for d in os.listdir(args.warehouse)
+            if os.path.exists(os.path.join(args.warehouse, d, "_manifest.json"))
+        )
+
+    report: dict[str, dict] = {}
+    spark = None
+    for table in tables:
+        m = cat.manifest(table)
+        frag = sorted(
+            part for part, vs in m["partitions"].items()
+            if len(vs) > args.max_versions or "." in vs
+        )
+        entry = {
+            "fragmented_partitions": len(frag),
+            "snapshots_retained": len(m.get("snapshots", [])),
+        }
+        if args.dry_run:
+            entry["would_expire"] = max(
+                0, len(m.get("snapshots", [])) - args.keep_snapshots
+            )
+            report[table] = entry
+            continue
+        if frag:
+            if spark is None:
+                spark = SparkSession.builder.appName("maintain-sinks").getOrCreate()
+            entry["compacted_partitions"] = cat.compact(
+                spark, table, max_versions=args.max_versions
+            )
+        entry["expired_snapshots"] = cat.expire_snapshots(
+            table, keep=args.keep_snapshots
+        )
+        entry["vacuumed_dirs"] = cat.vacuum(table)
+        report[table] = entry
+    print(json.dumps({"warehouse": args.warehouse, "tables": report}))
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:])

@@ -437,3 +437,38 @@ def test_default_catalog_preserves_existing_history(spark, tmp_path):
     old = {r["_id"]: r["v"] for r in plain.read(spark, "sink", version=v1).collect()}
     assert old == {"a": 1}
     assert {r["_id"]: r["v"] for r in plain.read(spark, "sink").collect()} == {"a": 3}
+
+
+def test_maintain_sinks_job(spark, tmp_path, capsys):
+    """Maintenance CLI: compacts fragmented partitions, expires the
+    snapshot log to the retention target, vacuums the released dirs —
+    and --dry-run touches nothing."""
+    import json
+    import os
+
+    from fluent_plugin_opensearch_spark.sinks.writer import append_to_sink
+    from jobs.maintain_sinks import main as maintain_main
+
+    cat = SinkCatalog(str(tmp_path), snapshots_kept=8)
+    for k in range(3):
+        append_to_sink(_df(spark, [(f"a{k}", "i1", k)]), cat, "sink")
+    assert len(cat.manifest("sink")["partitions"]["i1"]) == 3
+
+    maintain_main(["--warehouse", str(tmp_path), "--dry-run"])
+    dry = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert dry["tables"]["sink"]["fragmented_partitions"] == 1
+    assert dry["tables"]["sink"]["would_expire"] == 3
+    assert len(cat.manifest("sink")["partitions"]["i1"]) == 3  # untouched
+
+    maintain_main(["--warehouse", str(tmp_path)])
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["tables"]["sink"]["compacted_partitions"] == 1
+    assert len(rep["tables"]["sink"]["expired_snapshots"]) == 3
+    m = cat.manifest("sink")
+    assert len(m["partitions"]["i1"]) == 1
+    assert m.get("snapshots", []) == []
+    rows = {r["_id"]: r["v"] for r in cat.read(spark, "sink").collect()}
+    assert rows == {"a0": 0, "a1": 1, "a2": 2}  # data intact
+    live = {v for vs in m["partitions"].values() for v in vs}
+    on_disk = {d for d in os.listdir(cat.path("sink")) if d.startswith("v_")}
+    assert on_disk == live  # vacuum collapsed history
