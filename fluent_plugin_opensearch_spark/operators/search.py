@@ -71,8 +71,7 @@ def bm25_topk(
 
     Scale shape: the postings table is filtered to the query's terms
     (an ``isin`` over a handful of literals — partition-prunable on a
-    term-bucketed index), df comes from one small aggregate over that
-    filtered set, N/avgdl from one corpus-stats row broadcast as
+    term-bucketed index), df is a window count riding those filtered postings, N/avgdl from one corpus-stats row broadcast as
     literals via a cross-join of a 1-row frame, and the final score is
     one groupBy(doc) + top-k window. Nothing quadratic; the corpus
     never shuffles except the (term,doc)-keyed postings build.
@@ -89,10 +88,15 @@ def bm25_topk(
         F.avg(F.size(_tokens(text_col))).alias("avgdl"),
     )
     hits = post.filter(F.col("term").isin(q_terms))
-    df_tbl = hits.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    # df rides the postings as a WINDOW count over the term key instead
+    # of a groupBy+join-back: the unpersisted join-back would re-run
+    # the whole tokenize+explode chain a second time (the CLAUDE.md
+    # banded-guard rule). Ubiquitous-term partitions spill via the
+    # window buffer; at 10^12 docs the postings are a materialized
+    # bucketed table anyway and this stage reads, not rebuilds.
+    hits = hits.withColumn("df", F.count(F.lit(1)).over(Window.partitionBy("term")))
     scored = (
-        hits.join(F.broadcast(df_tbl), "term")
-        .crossJoin(F.broadcast(stats))
+        hits.crossJoin(F.broadcast(stats))
         .withColumn(
             "idf",
             F.log(
@@ -151,18 +155,19 @@ def tfidf_keywords(
 
         w(t, d) = tf · ln(1 + N/df(t)),  quantized to micro-units
 
-    One postings build (the term_postings shape), one broadcast df
-    join, one per-doc ranking window — at 10^12 docs the window is
+    One postings build (the term_postings shape) with df counted by a
+    window over the term key, one per-doc ranking window — at 10^12 docs the window is
     per-document (bounded by doc vocabulary), never global. Ties break
     on the term string for determinism. Returns (id_col, term, rank,
     w_micro)."""
     post = term_postings(docs, id_col, text_col)
     n_docs = F.broadcast(docs.select(F.count(F.lit(1)).alias("n_docs")))
-    df_tbl = F.broadcast(post.groupBy("term").agg(F.count(F.lit(1)).alias("df")))
+    # df as a window count over term — one tokenize/explode pass total
+    # (a groupBy+join-back would rebuild the postings chain twice)
+    post = post.withColumn("df", F.count(F.lit(1)).over(Window.partitionBy("term")))
     w = Window.partitionBy(id_col).orderBy(F.desc("w_micro"), F.col("term"))
     return (
-        post.join(df_tbl, "term")
-        .crossJoin(n_docs)
+        post.crossJoin(n_docs)
         .withColumn(
             "w_micro",
             F.round(

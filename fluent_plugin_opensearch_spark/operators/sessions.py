@@ -151,3 +151,34 @@ def _top_k_per_bucket(df: DataFrame, fmt: str, bucket_name: str, k: int) -> Data
     bucket = F.date_format("ts", fmt).alias(bucket_name)
     counts = df.groupBy(bucket, "conv_id").agg(F.count(F.lit(1)).alias("n_turns"))
     return rank_top_k(counts, bucket_name, k)
+
+
+def render_conversations(t, conv_col: str = "conv_id", text_col: str = "text"):
+    """Transcripts→documents bridge: render each conversation into one
+    training document — 'role: text' lines in stable (conv_id,
+    turn_idx) order (O4) — and profile it as (conv_id, n_lines,
+    render_sha) so the full rendered string is value-checked without
+    shipping megabytes. One hash aggregate; the sort is
+    per-conversation inside array_sort, never a global orderBy."""
+    return (
+        t.filter(F.col(text_col).isNotNull())
+        .groupBy(conv_col)
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("turn_idx", "role", F.col(text_col).alias("text")))
+            ).alias("_turns")
+        )
+        .select(
+            conv_col,
+            F.size("_turns").alias("n_lines"),
+            F.sha2(
+                F.array_join(
+                    F.transform(
+                        "_turns", lambda x: F.concat(x["role"], F.lit(": "), x["text"])
+                    ),
+                    "\n",
+                ),
+                256,
+            ).alias("render_sha"),
+        )
+    )

@@ -572,29 +572,9 @@ def q_conv_render(spark, sf_dir):
     Output profiled as (conv_id, n_lines, render_sha) so the full
     rendered string is value-checked without shipping megabytes
     through the compare."""
-    t = _t(spark, sf_dir).filter(F.col("text").isNotNull())
-    rendered = (
-        t.groupBy("conv_id")
-        .agg(
-            F.array_sort(
-                F.collect_list(F.struct("turn_idx", "role", "text"))
-            ).alias("_turns")
-        )
-        .select(
-            "conv_id",
-            F.size("_turns").alias("n_lines"),
-            F.sha2(
-                F.array_join(
-                    F.transform(
-                        "_turns", lambda x: F.concat(x["role"], F.lit(": "), x["text"])
-                    ),
-                    "\n",
-                ),
-                256,
-            ).alias("render_sha"),
-        )
-    )
-    return rendered
+    from ..operators.sessions import render_conversations
+
+    return render_conversations(_t(spark, sf_dir))
 
 
 O_CONV_RENDER = (
@@ -2755,16 +2735,16 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "log_templates": q_log_templates,
     "chunk_dedup": q_chunk_dedup,
     "props_json": q_props_json,
-    "dedup_exact": q_dedup_exact,
+    "ivf_kmeans_topk": q_ivf_kmeans_topk,
     "text_stats": q_text_stats,
     "lang_pred": q_lang_pred,
-    "ann_cosine_topk": q_ann_cosine_topk,
+    "tfidf_keywords": q_tfidf_keywords,
     "session_stats": q_session_stats,
     "placeholder_routing": q_placeholder_routing,
     "alias_rollover": q_alias_rollover,
     "semantic_clusters": q_semantic_clusters,
     "grok_extract": q_grok_extract,
-    "rollup_cascade": q_rollup_cascade,
+    "conv_render": q_conv_render,
     "minhash_md5_pairs": q_minhash_md5_pairs,
     "simhash_neardup_md5": q_simhash_neardup_md5,
     "ngram_jaccard": q_ngram_jaccard,
@@ -2850,9 +2830,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "knn_label_vote": q_knn_label_vote,
     "missing_id_dlq": q_missing_id_dlq,
     "per_conv_stats": q_per_conv_stats,
-    "ivf_kmeans_topk": q_ivf_kmeans_topk,
-    "conv_render": q_conv_render,
-    "tfidf_keywords": q_tfidf_keywords,
+    "dedup_exact": q_dedup_exact,
+    "rollup_cascade": q_rollup_cascade,
+    "ann_cosine_topk": q_ann_cosine_topk,
 }
 
 ORACLES: dict[str, str] = {

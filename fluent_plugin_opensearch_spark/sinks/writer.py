@@ -253,6 +253,16 @@ class SinkCatalog:
         duplicate delivery."""
         return marker in self.manifest(table).get("markers", [])
 
+    def fragmented(self, table: str, max_versions: int = 1) -> list[str]:
+        """Partitions referenced by more than ``max_versions`` version
+        dirs (or by the legacy "." pseudo-version) — the single source
+        of truth for what ``compact`` would rewrite (maintenance jobs
+        must use this, not re-derive the predicate)."""
+        m = self.manifest(table)
+        return sorted(
+            p for p, vs in m["partitions"].items() if len(vs) > max_versions or "." in vs
+        )
+
     def compact(
         self, spark: SparkSession, table: str, max_versions: int = 1
     ) -> int:
@@ -264,10 +274,8 @@ class SinkCatalog:
         from degrading scan fan-in; untouched (already-compact)
         partitions are not rewritten. Returns the number of partitions
         compacted."""
+        frag = self.fragmented(table, max_versions)
         m = self.manifest(table)
-        frag = sorted(
-            p for p, vs in m["partitions"].items() if len(vs) > max_versions or "." in vs
-        )
         if not frag:
             return 0
         current = self.read(spark, table)

@@ -4,7 +4,7 @@ rewrite_data_files + expire_snapshots pair, on the sandbox catalog):
 
     spark-submit --py-files dist/fposs.zip jobs/maintain_sinks.py \\
         --warehouse <sink catalog dir> [--tables sink,hh_rollup] \\
-        [--max-versions 1] [--keep-snapshots 1] [--dry-run]
+        [--max-versions 1] [--keep-snapshots 1 | 0=drop history] [--dry-run]
 
 Per table: collapse partitions fragmented across more than
 ``--max-versions`` version dirs into one fresh version (atomic
@@ -28,10 +28,11 @@ def main(argv: list[str]) -> None:
     p.add_argument("--tables", default=None,
                    help="comma-separated; default: every table dir with a manifest")
     p.add_argument("--max-versions", type=int, default=1)
-    p.add_argument("--keep-snapshots", type=int, default=0,
-                   help="historical snapshot-log entries to retain; the current\n"
-                        "state is always readable regardless (0 = no time travel,\n"
-                        "matching a history-free catalog)")
+    p.add_argument("--keep-snapshots", type=int, default=1,
+                   help="historical snapshot-log entries to retain (matches the "
+                        "library expire_snapshots default). Dropping history is "
+                        "explicit: pass 0. The current state is always readable "
+                        "regardless.")
     p.add_argument("--dry-run", action="store_true")
     args = p.parse_args(argv)
 
@@ -41,7 +42,16 @@ def main(argv: list[str]) -> None:
 
     cat = SinkCatalog(args.warehouse)
     if args.tables:
-        tables = [t for t in args.tables.split(",") if t]
+        tables = [t.strip() for t in args.tables.split(",") if t.strip()]
+        missing = [
+            t for t in tables
+            if not os.path.exists(os.path.join(args.warehouse, t, "_manifest.json"))
+        ]
+        if missing:
+            # an unknown name would synthesize an empty manifest and
+            # report a healthy zero-count pass for a table that was
+            # never maintained — fail loudly instead
+            p.error(f"no manifest for table(s): {', '.join(sorted(missing))}")
     else:
         tables = sorted(
             d for d in os.listdir(args.warehouse)
@@ -51,19 +61,12 @@ def main(argv: list[str]) -> None:
     report: dict[str, dict] = {}
     spark = None
     for table in tables:
-        m = cat.manifest(table)
-        frag = sorted(
-            part for part, vs in m["partitions"].items()
-            if len(vs) > args.max_versions or "." in vs
-        )
-        entry = {
-            "fragmented_partitions": len(frag),
-            "snapshots_retained": len(m.get("snapshots", [])),
-        }
+        frag = cat.fragmented(table, args.max_versions)
+        pre_snapshots = len(cat.manifest(table).get("snapshots", []))
+        entry = {"fragmented_partitions": len(frag)}
         if args.dry_run:
-            entry["would_expire"] = max(
-                0, len(m.get("snapshots", [])) - args.keep_snapshots
-            )
+            entry["snapshots_retained"] = pre_snapshots
+            entry["would_expire"] = max(0, pre_snapshots - args.keep_snapshots)
             report[table] = entry
             continue
         if frag:
@@ -76,6 +79,9 @@ def main(argv: list[str]) -> None:
             table, keep=args.keep_snapshots
         )
         entry["vacuumed_dirs"] = cat.vacuum(table)
+        # post-maintenance state, so the report never claims history
+        # that was just expired
+        entry["snapshots_retained"] = len(cat.manifest(table).get("snapshots", []))
         report[table] = entry
     print(json.dumps({"warehouse": args.warehouse, "tables": report}))
 

@@ -989,3 +989,41 @@ def test_search_and_kmeans_edge_cases(spark):
 
     one = split_corpus(docs, {"only": 1000})
     assert {r["split"] for r in one.collect()} == {"only"}
+
+
+def test_tfidf_keywords_python_parity(spark):
+    """Random word corpora: tfidf_keywords must equal an independent
+    pure-Python smoothed TF-IDF top-k (same quantization, same term
+    tie-break)."""
+    import math
+    import random
+
+    from fluent_plugin_opensearch_spark.operators.search import tfidf_keywords
+
+    rng = random.Random(99)
+    vocab = [f"w{i}" for i in range(25)]
+    docs = {
+        i: " ".join(rng.choice(vocab) for _ in range(rng.randint(3, 30)))
+        for i in range(60)
+    }
+    toks = {i: t.split() for i, t in docs.items()}
+    n = len(docs)
+    df_cnt: dict[str, int] = {}
+    for t in toks.values():
+        for term in set(t):
+            df_cnt[term] = df_cnt.get(term, 0) + 1
+    expected = []
+    for i, t in toks.items():
+        ws = [
+            (int(round(1e6 * t.count(term) * math.log(1 + n / df_cnt[term]))), term)
+            for term in set(t)
+        ]
+        top = sorted(ws, key=lambda x: (-x[0], x[1]))[:3]
+        expected.extend((i, term, r + 1, w) for r, (w, term) in enumerate(top))
+
+    df = spark.createDataFrame(list(docs.items()), ["doc_id", "text"])
+    got = [
+        (r["doc_id"], r["term"], r["rank"], r["w_micro"])
+        for r in tfidf_keywords(df, k=3).orderBy("doc_id", "rank").collect()
+    ]
+    assert got == sorted(expected, key=lambda x: (x[0], x[2]))

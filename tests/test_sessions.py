@@ -81,3 +81,27 @@ def test_blocked_equals_plain_random(spark):
     plain = _collect_sessions(sessionize(df, gap_minutes=30))
     for bs in (1, 3, 7, 1000):
         assert _collect_sessions(sessionize_blocked(df, gap_minutes=30, block_size=bs)) == plain, bs
+
+
+def test_render_conversations_planted(spark):
+    """Rendered document = role-prefixed lines in turn order; sha and
+    line counts match an independent hashlib computation; null-text
+    turns are skipped."""
+    import hashlib
+
+    from fluent_plugin_opensearch_spark.operators.sessions import render_conversations
+
+    rows = [
+        ("c1", 1, "assistant", "world"),
+        ("c1", 0, "user", "hello"),
+        ("c1", 2, "tool", None),
+        ("c2", 0, "system", "boot"),
+    ]
+    df = spark.createDataFrame(rows, "conv_id string, turn_idx int, role string, text string")
+    got = {r["conv_id"]: (r["n_lines"], r["render_sha"]) for r in render_conversations(df).collect()}
+    c1 = "user: hello\nassistant: world"
+    c2 = "system: boot"
+    assert got == {
+        "c1": (2, hashlib.sha256(c1.encode()).hexdigest()),
+        "c2": (1, hashlib.sha256(c2.encode()).hexdigest()),
+    }

@@ -454,16 +454,24 @@ def test_maintain_sinks_job(spark, tmp_path, capsys):
         append_to_sink(_df(spark, [(f"a{k}", "i1", k)]), cat, "sink")
     assert len(cat.manifest("sink")["partitions"]["i1"]) == 3
 
+    import pytest
+
     maintain_main(["--warehouse", str(tmp_path), "--dry-run"])
     dry = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert dry["tables"]["sink"]["fragmented_partitions"] == 1
-    assert dry["tables"]["sink"]["would_expire"] == 3
+    assert dry["tables"]["sink"]["would_expire"] == 2  # default keeps 1
     assert len(cat.manifest("sink")["partitions"]["i1"]) == 3  # untouched
 
-    maintain_main(["--warehouse", str(tmp_path)])
+    with pytest.raises(SystemExit):  # unknown table fails loudly
+        maintain_main(["--warehouse", str(tmp_path), "--tables", "sinkk"])
+    capsys.readouterr()
+
+    # dropping history is explicit
+    maintain_main(["--warehouse", str(tmp_path), "--keep-snapshots", "0"])
     rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert rep["tables"]["sink"]["compacted_partitions"] == 1
     assert len(rep["tables"]["sink"]["expired_snapshots"]) == 3
+    assert rep["tables"]["sink"]["snapshots_retained"] == 0  # post-state
     m = cat.manifest("sink")
     assert len(m["partitions"]["i1"]) == 1
     assert m.get("snapshots", []) == []
