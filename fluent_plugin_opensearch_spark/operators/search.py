@@ -211,3 +211,121 @@ def log_templates(
             F.min(id_col).alias("first_source"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Incrementally-maintained inverted index (term-bucketed catalog table)
+# ---------------------------------------------------------------------------
+
+#: partition count for the term-bucketed postings table
+INDEX_BUCKETS = 16
+
+
+def term_bucket(term: str, n_buckets: int = INDEX_BUCKETS) -> str:
+    """Engine-portable bucket of a term (the curation._id_bucket md5
+    trick, computable driver-side in pure Python) — the partition a
+    term's postings live in."""
+    import hashlib
+
+    h = hashlib.md5(f"tb#{term}".encode()).hexdigest()
+    return f"tb-{int(h[:15], 16) % n_buckets:02d}"
+
+
+def term_bucket_expr(term_col: str, n_buckets: int = INDEX_BUCKETS):
+    """Spark twin of ``term_bucket`` (bit-identical assignment)."""
+    h = F.md5(F.concat(F.lit("tb#"), F.col(term_col)))
+    n = F.conv(F.substring(h, 1, 15), 16, 10).cast("bigint") % n_buckets
+    return F.concat(F.lit("tb-"), F.lpad(n.cast("string"), 2, "0"))
+
+
+def index_batch(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> tuple[DataFrame, DataFrame]:
+    """One ingest batch → (postings rows, corpus-stats row) for the
+    incremental index: postings carry their term-bucket partition key;
+    the stats side is ONE row (doc count + total token length) so
+    exact BM25 normalization stays maintainable by appending — sums
+    merge, averages do not. Both frames are ready for
+    ``append_to_sink`` under an idempotence marker."""
+    post = term_postings(docs, id_col, text_col).withColumn(
+        "_index", term_bucket_expr("term")
+    )
+    stats = docs.select(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(_tokens(text_col))).alias("sum_dl"),
+    ).withColumn("_index", F.lit("stats"))
+    return post, stats
+
+
+def search_index(
+    spark,
+    catalog,
+    query: str,
+    k: int = 10,
+    table: str = "postings",
+    stats_table: str = "search_stats",
+    id_col: str = "doc_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+    n_buckets: int = INDEX_BUCKETS,
+    id_type: str = "long",
+) -> DataFrame:
+    """BM25 over the INCREMENTALLY-maintained index: reads ONLY the
+    term-bucket partitions the query's terms hash to (manifest-level
+    pruning via ``SinkCatalog.read(partitions=...)``) plus the 2-column
+    stats table — the corpus text is never touched, so query cost is
+    O(postings of the query terms), not O(corpus). Scores are
+    identical to ``bm25_topk`` on the same corpus (parity-tested
+    across a multi-batch streamed build)."""
+    q_terms = sorted({t for t in _split_query(query)})
+    if not q_terms:
+        raise ValueError("query has no tokens")
+    buckets = sorted({term_bucket(t, n_buckets) for t in q_terms})
+    try:
+        post = catalog.read(spark, table, partitions=buckets)
+    except FileNotFoundError:
+        return spark.createDataFrame(
+            [], f"rank int, {id_col} {id_type}, score_micro long"
+        )
+    st = catalog.read(spark, stats_table).agg(
+        F.sum("n_docs").alias("n_docs"),
+        (F.sum("sum_dl") / F.sum("n_docs")).alias("avgdl"),
+    )
+    hits = post.filter(F.col("term").isin(q_terms)).withColumn(
+        "df", F.count(F.lit(1)).over(Window.partitionBy("term"))
+    )
+    scored = (
+        hits.crossJoin(F.broadcast(st))
+        .withColumn(
+            "idf",
+            F.log(
+                F.lit(1.0)
+                + (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+            ),
+        )
+        .withColumn(
+            "_s",
+            F.col("idf")
+            * F.col("tf")
+            * F.lit(k1 + 1.0)
+            / (
+                F.col("tf")
+                + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.col("avgdl"))
+            ),
+        )
+        .groupBy(id_col)
+        .agg(F.round(F.lit(1e6) * F.sum("_s")).cast("bigint").alias("score_micro"))
+    )
+    w_local = Window.partitionBy("_pid").orderBy(F.desc("score_micro"), F.col(id_col))
+    pre = (
+        scored.withColumn("_pid", F.spark_partition_id())
+        .withColumn("_lr", F.row_number().over(w_local))
+        .filter(F.col("_lr") <= k)
+        .drop("_pid", "_lr")
+    )
+    w = Window.orderBy(F.desc("score_micro"), F.col(id_col))
+    return (
+        pre.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("rank", id_col, "score_micro")
+    )

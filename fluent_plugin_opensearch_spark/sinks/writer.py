@@ -223,14 +223,28 @@ class SinkCatalog:
             f"(retained: {self.snapshots(table)}) — expired or never committed"
         )
 
-    def read(self, spark: SparkSession, table: str, version: int | None = None) -> DataFrame:
+    def read(
+        self,
+        spark: SparkSession,
+        table: str,
+        version: int | None = None,
+        partitions: list[str] | None = None,
+    ) -> DataFrame:
         """Read a snapshot: per live version dir, the partitions the
         manifest assigns to it (orphan/stale dirs are invisible). Merge
         rewrites collapse a partition back to one version, so the union
         stays shallow. ``version`` time-travels to a retained snapshot
-        (requires ``snapshots_kept > 1`` at commit time)."""
+        (requires ``snapshots_kept > 1`` at commit time). ``partitions``
+        restricts the scan to the named ``_index`` values — manifest-
+        level partition pruning (the Iceberg partition-filter analog):
+        only those partitions' data files are ever listed or opened,
+        which is what makes a term-bucketed index lookup touch
+        O(query terms) files instead of the whole table."""
         by_version: dict[str, list[str]] = {}
+        wanted = set(partitions) if partitions is not None else None
         for part, versions in self._partitions_at(table, version).items():
+            if wanted is not None and part not in wanted:
+                continue
             for v in versions:
                 by_version.setdefault(v, []).append(part)
         if not by_version:

@@ -314,6 +314,54 @@ def top_k_from_rollup(rollup: DataFrame, k: int = 3) -> DataFrame:
     return rank_top_k(rollup, "hour", k)
 
 
+def index_stream(
+    spark: SparkSession,
+    source: DataFrame,
+    catalog: SinkCatalog,
+    checkpoint_dir: str,
+    id_col: str = "conv_id",
+    text_col: str = "text",
+    available_now: bool = True,
+    processing_time: str = "60 seconds",
+    table: str = "postings",
+    stats_table: str = "search_stats",
+):
+    """Incrementally maintain the inverted search index as documents
+    arrive. ``id_col`` MUST identify an ATOMIC ingest unit fully
+    contained in one micro-batch (a log line / turn — e.g. a
+    ``conv_id#turn_idx`` key), never a cross-batch aggregate like a
+    conversation: postings for one doc must come from exactly one
+    batch or tf/dl would be split across partial rows. Per
+    micro-batch, tokenize ONLY the batch, append its
+    postings into term-bucket partitions of the catalog (so a later
+    query's ``search_index`` prunes to O(query terms) partitions) and
+    one corpus-stats row (doc count + total tokens — sums merge,
+    averages do not). Both appends commit under per-table idempotence
+    markers, so a re-delivered micro-batch is skipped per table
+    independently (the ingest_dedup_stream pattern) and the index
+    equals a from-scratch batch build at every point (parity-tested).
+    Compaction of append fragmentation is the normal maintenance pass
+    (jobs/maintain_sinks.py)."""
+    from ..operators.search import index_batch
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        docs = batch_df.filter(F.col(text_col).isNotNull())
+        post, stats = index_batch(docs, id_col=id_col, text_col=text_col)
+        append_to_sink(post, catalog, table, marker=f"idx-{table}-{batch_id}")
+        append_to_sink(stats, catalog, stats_table, marker=f"idx-{stats_table}-{batch_id}")
+
+    writer = (
+        source.writeStream.outputMode("append")
+        .foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime=processing_time)
+    return writer.start()
+
+
 def template_drift_stream(
     spark: SparkSession,
     source: DataFrame,

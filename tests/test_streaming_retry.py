@@ -580,3 +580,59 @@ def test_template_drift_stream_matches_batch_miner(spark, tmp_path):
         r["template"]: r["n_events"] for r in log_templates(t).collect()
     }
     assert got == want
+
+
+def test_index_stream_search_matches_batch_bm25(spark, tmp_path):
+    """The incrementally-streamed inverted index must answer BM25
+    queries identically to a from-scratch batch computation over the
+    same corpus, and the query must physically read ONLY the term-
+    bucket partitions its terms hash to (manifest-level pruning)."""
+    from fluent_plugin_opensearch_spark.operators.search import (
+        bm25_topk,
+        search_index,
+        term_bucket,
+    )
+    from fluent_plugin_opensearch_spark.streaming.stream import (
+        TRANSCRIPTS_SCHEMA,
+        index_stream,
+    )
+
+    import pyspark.sql.types as T
+
+    src_dir = str(tmp_path / "ix_src")
+    # the index's document unit must be an atomic ingest row — key
+    # each turn, not each conversation (a conv spans micro-batches)
+    key = F.concat_ws("#", "conv_id", F.col("turn_idx").cast("string"))
+    t = load_transcripts(spark, SF_SMOKE).withColumn("doc_key", key)
+    t.repartition(6).write.parquet(src_dir)
+    cat = SinkCatalog(str(tmp_path / "ix_wh"))
+    schema = T.StructType(
+        TRANSCRIPTS_SCHEMA.fields + [T.StructField("doc_key", T.StringType())]
+    )
+    source = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 2)  # multi-batch build
+        .parquet(src_dir)
+    )
+    q = index_stream(spark, source, cat, str(tmp_path / "ix_ckpt"), id_col="doc_key")
+    q.awaitTermination(180)
+
+    query = "error req took"
+    got = search_index(
+        spark, cat, query, k=10, id_col="doc_key", id_type="string"
+    )
+    want = bm25_topk(t.filter(F.col("text").isNotNull()), query, k=10, id_col="doc_key")
+    g = [(r["rank"], r["doc_key"], r["score_micro"]) for r in got.orderBy("rank").collect()]
+    w = [(r["rank"], r["doc_key"], r["score_micro"]) for r in want.orderBy("rank").collect()]
+    assert g == w and len(g) == 10
+
+    # physical pruning: every file the query read sits in a partition
+    # one of the query's terms hashes to
+    allowed = {term_bucket(term) for term in query.split()}
+    post = cat.read(spark, "postings", partitions=sorted(allowed))
+    files = post.inputFiles()
+    assert files
+    assert all(any(f"_index={b}" in f for b in allowed) for f in files)
+    # and that is a strict subset of the table's partitions
+    all_parts = set(cat.manifest("postings")["partitions"])
+    assert allowed < all_parts
