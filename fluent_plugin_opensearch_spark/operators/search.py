@@ -62,6 +62,7 @@ def bm25_topk(
     text_col: str = "text",
     k1: float = 1.2,
     b: float = 0.75,
+    require_all: bool = False,
 ) -> DataFrame:
     """BM25 top-k over the corpus for a query string (Robertson/
     Sparck-Jones idf with the +1 floor, as in Lucene):
@@ -115,8 +116,16 @@ def bm25_topk(
             ),
         )
         .groupBy(id_col)
-        .agg(F.round(F.lit(1e6) * F.sum("_s")).cast("bigint").alias("score_micro"))
+        .agg(
+            F.round(F.lit(1e6) * F.sum("_s")).cast("bigint").alias("score_micro"),
+            F.count(F.lit(1)).alias("_nt"),  # distinct by construction: postings are (term, doc)-unique
+        )
     )
+    if require_all:
+        # conjunctive (AND) semantics: keep only docs matching EVERY
+        # query term — a post-aggregation filter, no extra shuffle
+        scored = scored.filter(F.col("_nt") == len(q_terms))
+    scored = scored.drop("_nt")
     # exact two-phase top-k (the quota_top_per_stratum prefilter
     # shape): a common query term can match most of the corpus, so the
     # global ranking window must never see the full match set — each

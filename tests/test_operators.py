@@ -1027,3 +1027,26 @@ def test_tfidf_keywords_python_parity(spark):
         for r in tfidf_keywords(df, k=3).orderBy("doc_id", "rank").collect()
     ]
     assert got == sorted(expected, key=lambda x: (x[0], x[2]))
+
+
+def test_bm25_require_all_conjunctive(spark):
+    """require_all keeps only docs containing EVERY query term; the
+    default (OR) ranks partial matches too."""
+    from fluent_plugin_opensearch_spark.operators.search import bm25_topk
+
+    docs = spark.createDataFrame(
+        [
+            (0, "alpha beta gamma"),
+            (1, "alpha beta"),
+            (2, "alpha alpha alpha"),
+            (3, "delta"),
+        ],
+        ["doc_id", "text"],
+    )
+    both = {r["doc_id"] for r in bm25_topk(docs, "alpha beta", k=10).collect()}
+    assert both == {0, 1, 2}
+    conj = {
+        r["doc_id"]
+        for r in bm25_topk(docs, "alpha beta", k=10, require_all=True).collect()
+    }
+    assert conj == {0, 1}
