@@ -83,6 +83,7 @@ def bm25_topk(
     q_terms = sorted({t for t in _split_query(query)})
     if not q_terms:
         raise ValueError("query has no tokens")
+    docs = docs.filter(F.col(text_col).isNotNull())  # null text can never match; keep N consistent with the index stats
     post = term_postings(docs, id_col, text_col)
     stats = docs.select(
         F.count(F.lit(1)).alias("n_docs"),
@@ -118,7 +119,7 @@ def bm25_topk(
         .groupBy(id_col)
         .agg(
             F.round(F.lit(1e6) * F.sum("_s")).cast("bigint").alias("score_micro"),
-            F.count(F.lit(1)).alias("_nt"),  # distinct by construction: postings are (term, doc)-unique
+            F.countDistinct("term").alias("_nt"),
         )
     )
     if require_all:
@@ -237,18 +238,21 @@ def term_bucket(term: str, n_buckets: int = INDEX_BUCKETS) -> str:
     import hashlib
 
     h = hashlib.md5(f"tb#{term}".encode()).hexdigest()
-    return f"tb-{int(h[:15], 16) % n_buckets:02d}"
+    return f"tb-{int(h[:15], 16) % n_buckets}"
 
 
 def term_bucket_expr(term_col: str, n_buckets: int = INDEX_BUCKETS):
     """Spark twin of ``term_bucket`` (bit-identical assignment)."""
     h = F.md5(F.concat(F.lit("tb#"), F.col(term_col)))
     n = F.conv(F.substring(h, 1, 15), 16, 10).cast("bigint") % n_buckets
-    return F.concat(F.lit("tb-"), F.lpad(n.cast("string"), 2, "0"))
+    return F.concat(F.lit("tb-"), n.cast("string"))
 
 
 def index_batch(
-    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = INDEX_BUCKETS,
 ) -> tuple[DataFrame, DataFrame]:
     """One ingest batch → (postings rows, corpus-stats row) for the
     incremental index: postings carry their term-bucket partition key;
@@ -257,7 +261,7 @@ def index_batch(
     merge, averages do not. Both frames are ready for
     ``append_to_sink`` under an idempotence marker."""
     post = term_postings(docs, id_col, text_col).withColumn(
-        "_index", term_bucket_expr("term")
+        "_index", term_bucket_expr("term", n_buckets)
     )
     stats = docs.select(
         F.count(F.lit(1)).alias("n_docs"),
@@ -292,11 +296,17 @@ def search_index(
     buckets = sorted({term_bucket(t, n_buckets) for t in q_terms})
     try:
         post = catalog.read(spark, table, partitions=buckets)
+        st_raw = catalog.read(spark, stats_table)
     except FileNotFoundError:
+        # no postings for these terms yet, or the stats append of the
+        # very first batch hasn't landed — an empty index, not an error.
+        # (Between a batch's two appends a query may score one batch's
+        # postings against the previous stats — skew bounded by one
+        # micro-batch and self-healing on the next commit.)
         return spark.createDataFrame(
             [], f"rank int, {id_col} {id_type}, score_micro long"
         )
-    st = catalog.read(spark, stats_table).agg(
+    st = st_raw.agg(
         F.sum("n_docs").alias("n_docs"),
         (F.sum("sum_dl") / F.sum("n_docs")).alias("avgdl"),
     )

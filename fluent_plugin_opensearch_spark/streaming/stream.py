@@ -325,6 +325,7 @@ def index_stream(
     processing_time: str = "60 seconds",
     table: str = "postings",
     stats_table: str = "search_stats",
+    n_buckets: int | None = None,
 ):
     """Incrementally maintain the inverted search index as documents
     arrive. ``id_col`` MUST identify an ATOMIC ingest unit fully
@@ -344,11 +345,36 @@ def index_stream(
     (jobs/maintain_sinks.py)."""
     from ..operators.search import index_batch
 
+    # marker scope: checkpoint-instance nonce + batch id (the ADVICE-r2
+    # pattern every stream here uses) — a recreated checkpoint restarts
+    # batch ids at 0 and must NOT collide with the old run's markers
+    from ..operators.search import INDEX_BUCKETS
+
+    if n_buckets is None:
+        n_buckets = INDEX_BUCKETS
+    stream_id = _checkpoint_instance_id(checkpoint_dir)
+    n_parts = spark.sparkContext.defaultParallelism
+
     def process(batch_df: DataFrame, batch_id: int) -> None:
-        docs = batch_df.filter(F.col(text_col).isNotNull())
-        post, stats = index_batch(docs, id_col=id_col, text_col=text_col)
-        append_to_sink(post, catalog, table, marker=f"idx-{table}-{batch_id}")
-        append_to_sink(stats, catalog, stats_table, marker=f"idx-{stats_table}-{batch_id}")
+        docs = batch_df.filter(F.col(text_col).isNotNull()).persist()
+        try:
+            post, stats = index_batch(
+                docs, id_col=id_col, text_col=text_col, n_buckets=n_buckets
+            )
+            # one writer per term bucket — without the repartition every
+            # map task writes every bucket dir (the tasks×sinks tiny-file
+            # layout append_to_sink's own notes measure at 4.5× cost)
+            append_to_sink(
+                post, catalog, table,
+                sink_partitions=min(n_parts, n_buckets),
+                marker=f"idx-{stream_id}-{table}-{batch_id}",
+            )
+            append_to_sink(
+                stats, catalog, stats_table,
+                marker=f"idx-{stream_id}-{stats_table}-{batch_id}",
+            )
+        finally:
+            docs.unpersist()
 
     writer = (
         source.writeStream.outputMode("append")
