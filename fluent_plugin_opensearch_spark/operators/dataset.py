@@ -1555,28 +1555,41 @@ def text_stats(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") 
     )
 
 
-def lang_id_ngram(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """Heuristic language ID: score = stopword-hit fraction per tiny
-    per-language lexicon; argmax wins, 'unk' when nothing hits. A toy
-    (the container has no langid lib), but the Spark shape — broadcast
-    lexicon → explode-free array intersection → argmax — is the real
-    scale pattern."""
+#: tiny per-language stopword lexicons for the heuristic lang id
+LANG_LEXICON = {
+    "en": ("the", "a", "of", "and", "to", "in", "is"),
+    "de": ("der", "die", "das", "und", "ist", "nicht"),
+    "fr": ("le", "la", "de", "et", "est", "pas"),
+}
+
+
+def attach_lang(
+    docs: DataFrame, text_col: str = "text", out_col: str = "pred_lang"
+) -> DataFrame:
+    """Heuristic language ID attached as a COLUMN (no join-back): score
+    = stopword hits per tiny per-language lexicon; argmax wins, 'unk'
+    when nothing hits. A toy lexicon (the container has no langid
+    lib), but the Spark shape — broadcast lexicon → explode-free array
+    intersection → argmax, all one projection — is the real scale
+    pattern. Score columns are materialized first (withColumns) so the
+    argmax never re-evaluates the token split per reference."""
     toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
-    lex = {
-        "en": ("the", "a", "of", "and", "to", "in", "is"),
-        "de": ("der", "die", "das", "und", "ist", "nicht"),
-        "fr": ("le", "la", "de", "et", "est", "pas"),
-    }
+
     def score(ws: tuple[str, ...]):
         return F.size(F.filter(toks, lambda t: t.isin(*ws)))
 
-    scores = [score(ws).alias(lang) for lang, ws in lex.items()]
-    scored = docs.select(F.col(id_col), *scores)
-    best = F.greatest(*[F.col(lang) for lang in lex])
+    tmp = {f"_lang_{lang}": score(ws) for lang, ws in LANG_LEXICON.items()}
+    scored = docs.withColumns(tmp)
+    best = F.greatest(*[F.col(c) for c in tmp])
     pred = F.when(best <= 0, F.lit("unk"))
-    for lang in lex:  # first max wins, fixed order
-        pred = pred.when(F.col(lang) == best, F.lit(lang))
-    return scored.select(F.col(id_col), pred.alias("pred_lang"))
+    for lang in LANG_LEXICON:  # first max wins, fixed order
+        pred = pred.when(F.col(f"_lang_{lang}") == best, F.lit(lang))
+    return scored.withColumn(out_col, pred).drop(*tmp)
+
+
+def lang_id_ngram(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(id, pred_lang) projection of ``attach_lang`` — see there."""
+    return attach_lang(docs, text_col).select(F.col(id_col), "pred_lang")
 
 
 def token_count_bpe_ish(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:

@@ -55,6 +55,11 @@ def main(argv: list[str]) -> None:
                         "importance score vs this target distribution")
     p.add_argument("--dsir-keep", type=int, default=100_000)
     p.add_argument("--dsir-buckets", type=int, default=4096)
+    p.add_argument("--keep-langs", default=None,
+                   help="comma-separated predicted languages to keep "
+                        "(heuristic lang id over the FINAL text, after any "
+                        "mutation; 'unk' may be listed). A pure column "
+                        "filter — no join-back.")
     p.add_argument("--keep-cols", default=None,
                    help="comma-separated columns to KEEP through a text "
                         "mutation (--redact-pii / --paragraph-dedup / "
@@ -111,6 +116,18 @@ def main(argv: list[str]) -> None:
             "n_removed_tokens"
         )
         text_mutated = True
+    n_lang_dropped = 0
+    if args.keep_langs:
+        from fluent_plugin_opensearch_spark.operators.dataset import attach_lang
+
+        langs = [x.strip() for x in args.keep_langs.split(",") if x.strip()]
+        # language judged on the FINAL text (post-redaction/strip), as
+        # an attached column — one projection + filter, never a
+        # (doc_id, pred) join-back against the corpus
+        tagged = attach_lang(docs)
+        before = docs.count()
+        docs = tagged.filter(F.col("pred_lang").isin(langs)).drop("pred_lang")
+        n_lang_dropped = before - docs.count()
     dropped_stale: list[str] = []
     if text_mutated:
         # every text-DERIVED metadata column must be recomputed (or
@@ -171,6 +188,8 @@ def main(argv: list[str]) -> None:
     curated.write.mode("overwrite").parquet(args.output)
     n_out = spark.read.parquet(args.output).count()
     stats = {"input_docs": n_in, "kept_docs": n_out, "dropped": n_in - n_out}
+    if args.keep_langs:
+        stats["lang_dropped"] = n_lang_dropped
     if dropped_stale:
         stats["dropped_stale_cols"] = sorted(dropped_stale)
     print(json.dumps(stats))

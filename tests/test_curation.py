@@ -1071,3 +1071,41 @@ def test_search_logs_job_over_pipeline_sinks(spark, tmp_path, capsys):
     assert top["n_events"] >= 1 and "<*>" in " ".join(
         t["template"] for t in prof["templates"]
     )
+
+
+def test_curate_corpus_job_keep_langs(spark, tmp_path, capsys):
+    """--keep-langs filters on the heuristic language of the final
+    text as a pure column filter; off-language docs drop and are
+    counted."""
+    import json
+
+    from jobs.curate_corpus import main as curate_main
+
+    en = "the cat sat on the mat and the dog is in the house"
+    de = "der hund ist nicht in der wohnung und die katze ist da"
+    # 20 unique filler tokens per doc keep pairwise Jaccard well under
+    # the near-dup threshold so only the language gate drops anything
+    rows = [
+        (
+            i,
+            (en if i % 2 == 0 else de)
+            + " "
+            + " ".join(f"u{i}w{j}" for j in range(20)),
+            "src0",
+        )
+        for i in range(30)
+    ]
+    src = str(tmp_path / "docs")
+    spark.createDataFrame(rows, ["doc_id", "text", "source"]).write.parquet(src)
+
+    out = str(tmp_path / "curated")
+    curate_main([
+        "--input", src, "--output", out,
+        "--min-tokens", "5", "--min-chars", "20",
+        "--keep-langs", "en",
+    ])
+    stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert stats["lang_dropped"] == 15
+    kept = spark.read.parquet(out)
+    ids = {r["doc_id"] for r in kept.select("doc_id").collect()}
+    assert ids == {i for i in range(30) if i % 2 == 0}
