@@ -31,6 +31,8 @@ def main(argv: list[str]) -> None:
     p.add_argument("--k", type=int, default=10)
     p.add_argument("--text-col", default="text")
     p.add_argument("--id-col", default="_id")
+    p.add_argument("--all-terms", action="store_true",
+                   help="conjunctive search: only docs containing every query term")
     p.add_argument("--templates", action="store_true",
                    help="mine log templates instead of searching")
     args = p.parse_args(argv)
@@ -60,7 +62,8 @@ def main(argv: list[str]) -> None:
         return
 
     hits = bm25_topk(
-        docs, args.query, k=args.k, id_col=args.id_col, text_col=args.text_col
+        docs, args.query, k=args.k, id_col=args.id_col, text_col=args.text_col,
+        require_all=args.all_terms,
     )
     # attach the routed index of each hit as the evidence pointer
     meta = docs.select(F.col(args.id_col), F.col("_index")).dropDuplicates([args.id_col])

@@ -1050,3 +1050,23 @@ def test_bm25_require_all_conjunctive(spark):
         for r in bm25_topk(docs, "alpha beta", k=10, require_all=True).collect()
     }
     assert conj == {0, 1}
+
+
+def test_semdedup_threshold_monotone(spark):
+    """A stricter cosine threshold can only keep MORE docs (fewer
+    pairs qualify as dups) — the SemDeDup dial is monotone."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    base = emb.select("vec_id", v.alias("embedding"))
+    planted = base.filter(F.col("vec_id") < 3).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * 1.01).alias("embedding"),
+    )
+    allv = base.unionByName(planted)
+    clusters = DS.kmeans_assign(allv, k=3, n_assign=2)
+    loose = {r["vec_id"] for r in DS.semdedup_keep(allv, clusters, 0.3).collect()}
+    strict = {r["vec_id"] for r in DS.semdedup_keep(allv, clusters, 0.999).collect()}
+    assert loose <= strict  # stricter threshold keeps a superset
+    planted_ids = {100000, 100001, 100002}
+    assert planted_ids.isdisjoint(strict)  # near-copies die even at 0.999
+    assert len(loose) < len(strict)  # 0.3 also collapses merely-similar pairs
