@@ -31,6 +31,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from ..functions.text import cjk_pad, ws_tokens
+
 # ---------------------------------------------------------------------------
 # PII redaction
 # ---------------------------------------------------------------------------
@@ -122,7 +124,7 @@ def word_ngrams(docs: DataFrame, n: int, id_col: str, text_col: str, out_col: st
     (withColumn) so the per-index lambda reads a column value instead
     of re-running split() per element (CLAUDE.md lambda-recompute
     gotcha) — building all n-grams is O(len·n) per doc, map-side."""
-    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    toks = ws_tokens(F.col(text_col))
     cnt = F.size(F.col("_toks")) - (n - 1)
     grams = F.when(
         cnt > 0,
@@ -872,20 +874,25 @@ def chunk_documents(
     """
     if not 0 < stride <= window:
         raise ValueError(f"stride must be in 1..window, got {stride}/{window}")
-    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    toks = ws_tokens(F.col(text_col))
     n = F.size(toks).cast("bigint")
     base = docs.filter(F.col(text_col).isNotNull() & (F.trim(F.col(text_col)) != ""))
     base = base.select(
         F.col(id_col),
         toks.alias("_t"),
         n.alias("_n"),
+    )
+    # chunk count from the MATERIALIZED token count (never re-derive
+    # the split inside a later expr — the r2 withColumn-rebind gotcha);
+    # exact integer div, token counts are far below any double cliff
+    base = base.withColumn(
+        "_k",
         F.when(
-            n > window,
-            F.expr(f"(size(split(trim({text_col}), '\\\\s+')) - {window} + {stride} - 1) div {stride}"),
+            F.col("_n") > window,
+            F.expr(f"(_n - {window} + {stride} - 1) div {stride}"),
         )
         .otherwise(F.lit(0))
-        .cast("bigint")
-        .alias("_k"),
+        .cast("bigint"),
     )
     out = base.select(
         F.col(id_col),
@@ -922,12 +929,17 @@ def chunk_documents(
 
 #: the bpe-ish token regex shared with dataset.token_count_bpe_ish and
 #: pack_sequences — letter runs, digit runs, single punctuation marks.
-_BPE_ISH = r"[A-Za-z]+|\d+|[^\sA-Za-z\d]"
+#: ``\p{L}`` spells identically in Java regex and RE2 (oracle twin);
+#: ASCII-identical to the historical ``[A-Za-z]+|\d+|[^\sA-Za-z\d]``.
+#: Counted over CJK-PADDED text so a letter run can never swallow a
+#: CJK span — each CJK char counts as one token (≈ how real BPE
+#: vocabularies treat them).
+_BPE_ISH = r"\p{L}+|\d+|[^\s\p{L}\d]"
 
 
 def _n_tokens(text_col: str):
     return F.size(
-        F.regexp_extract_all(F.col(text_col), F.lit(_BPE_ISH), F.lit(0))
+        F.regexp_extract_all(cjk_pad(F.col(text_col)), F.lit(_BPE_ISH), F.lit(0))
     ).cast("bigint")
 
 

@@ -12,6 +12,15 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from ..functions.text import (
+    CYRILLIC_CLASS,
+    HAN_CLASS,
+    HANGUL_CLASS,
+    KANA_CLASS,
+    n_chars_in,
+    ws_tokens,
+)
+
 
 def _ensure_parallelism(df: DataFrame, min_parts: int | None = None) -> DataFrame:
     """Compute-heavy per-row ops (hashing every shingle/token) must not
@@ -67,7 +76,7 @@ def fingerprint(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text")
 def _shingles(text_col: str, k: int = 3):
     """Word k-shingles as an array column (built-ins only):
     tokens[i:i+k] joined by space, via transform over index range."""
-    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    toks = ws_tokens(F.col(text_col))
     n = F.greatest(F.size(toks) - (k - 1), F.lit(0))
     idx = F.sequence(F.lit(0), n - 1)
     return F.when(
@@ -378,7 +387,7 @@ def _token_rows(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
     produce no rows (they can't be near-dup candidates)."""
     return _ensure_parallelism(docs).select(
         F.col(id_col),
-        F.explode(F.array_distinct(F.split(F.trim(F.col(text_col)), r"\s+"))).alias("tok"),
+        F.explode(F.array_distinct(ws_tokens(F.col(text_col)))).alias("tok"),
     )
 
 
@@ -550,7 +559,7 @@ def _positional_shingles(docs: DataFrame, id_col: str, text_col: str, k: int) ->
     """(id, pos, shingle) rows preserving order and duplicates — the
     positional variant of ``_shingles`` (winnowing is position-aware,
     so no array_distinct here)."""
-    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    toks = ws_tokens(F.col(text_col))
     n = F.greatest(F.size(toks) - (k - 1), F.lit(0))
     arr = F.when(
         n > 0,
@@ -759,7 +768,7 @@ def strip_duplicate_spans(
         F.collect_list(F.struct("span_start", "span_end")).alias("_spans"),
         F.sum(F.col("span_end") - F.col("span_start")).alias("_n_cut"),
     )
-    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    toks = ws_tokens(F.col(text_col))
     kept = F.filter(
         toks,
         lambda t, i: ~F.exists(
@@ -1544,7 +1553,7 @@ def text_stats(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") 
     """Per-doc quality/counting stats, integer-exact (oracle-safe):
     token count (whitespace), char count, distinct-token count, and a
     crude stopword hit count (quality-scoring inputs)."""
-    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    toks = ws_tokens(F.col(text_col))
     stop = F.filter(toks, lambda t: t.isin("the", "a", "of", "and", "to", "in"))
     return docs.select(
         F.col(id_col),
@@ -1566,22 +1575,46 @@ LANG_LEXICON = {
 def attach_lang(
     docs: DataFrame, text_col: str = "text", out_col: str = "pred_lang"
 ) -> DataFrame:
-    """Heuristic language ID attached as a COLUMN (no join-back): score
-    = stopword hits per tiny per-language lexicon; argmax wins, 'unk'
-    when nothing hits. A toy lexicon (the container has no langid
-    lib), but the Spark shape — broadcast lexicon → explode-free array
-    intersection → argmax, all one projection — is the real scale
-    pattern. Score columns are materialized first (withColumns) so the
-    argmax never re-evaluates the token split per reference."""
-    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    """Heuristic language ID attached as a COLUMN (no join-back), in
+    two tiers, all one codegen projection:
+
+    1. **Script detection** (r5): codepoint counts per script class
+       (length-difference trick, ``functions.text.n_chars_in``). A
+       doc whose letters are majority kana+han with any kana → 'ja';
+       majority hangul → 'ko'; majority han → 'zh'; majority
+       Cyrillic → 'ru'. This is how real corpus lang-id shortcuts
+       non-Latin scripts — no lexicon needed, and it fixes the r4
+       gap where every non-Latin doc fell out as 'unk'.
+    2. **Stopword lexicon argmax** for Latin-script text: hits per
+       tiny per-language lexicon; argmax wins, 'unk' when nothing
+       hits. A toy lexicon (the container has no langid lib), but
+       the Spark shape — broadcast lexicon → explode-free array
+       intersection → argmax — is the real scale pattern.
+
+    Score columns are materialized first (withColumns) so the argmax
+    never re-evaluates the token split per reference."""
+    toks = ws_tokens(F.lower(F.col(text_col)))
 
     def score(ws: tuple[str, ...]):
         return F.size(F.filter(toks, lambda t: t.isin(*ws)))
 
     tmp = {f"_lang_{lang}": score(ws) for lang, ws in LANG_LEXICON.items()}
+    # script counts (computed on the raw column — padding irrelevant)
+    tmp["_sc_letters"] = n_chars_in(F.col(text_col), r"\p{L}")
+    tmp["_sc_han"] = n_chars_in(F.col(text_col), HAN_CLASS)
+    tmp["_sc_kana"] = n_chars_in(F.col(text_col), KANA_CLASS)
+    tmp["_sc_hangul"] = n_chars_in(F.col(text_col), HANGUL_CLASS)
+    tmp["_sc_cyr"] = n_chars_in(F.col(text_col), CYRILLIC_CLASS)
     scored = docs.withColumns(tmp)
-    best = F.greatest(*[F.col(c) for c in tmp])
-    pred = F.when(best <= 0, F.lit("unk"))
+    best = F.greatest(*[F.col(f"_lang_{lang}") for lang in LANG_LEXICON])
+    nl = F.col("_sc_letters")
+    pred = (
+        F.when((F.col("_sc_kana") > 0) & (2 * (F.col("_sc_kana") + F.col("_sc_han")) > nl), F.lit("ja"))
+        .when(2 * F.col("_sc_hangul") > nl, F.lit("ko"))
+        .when(2 * F.col("_sc_han") > nl, F.lit("zh"))
+        .when(2 * F.col("_sc_cyr") > nl, F.lit("ru"))
+        .when(best <= 0, F.lit("unk"))
+    )
     for lang in LANG_LEXICON:  # first max wins, fixed order
         pred = pred.when(F.col(f"_lang_{lang}") == best, F.lit(lang))
     return scored.withColumn(out_col, pred).drop(*tmp)
@@ -1595,8 +1628,9 @@ def lang_id_ngram(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text
 def token_count_bpe_ish(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Token counting: whitespace tokens + a BPE-ish regex count
     (runs of letters / digits / single punctuation), both exact ints."""
-    from .curation import _BPE_ISH  # single source for the token regex
+    from .curation import _n_tokens  # single source for the token regex
 
-    ws = F.size(F.split(F.trim(F.col(text_col)), r"\s+")).cast("bigint")
-    bpe = F.size(F.regexp_extract_all(F.col(text_col), F.lit(_BPE_ISH), F.lit(0))).cast("bigint")
-    return docs.select(F.col(id_col), ws.alias("n_ws_tokens"), bpe.alias("n_bpe_tokens"))
+    ws = F.size(ws_tokens(F.col(text_col))).cast("bigint")
+    return docs.select(
+        F.col(id_col), ws.alias("n_ws_tokens"), _n_tokens(text_col).alias("n_bpe_tokens")
+    )

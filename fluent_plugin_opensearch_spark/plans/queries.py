@@ -31,6 +31,17 @@ from ..sources.transcripts import ORACLE_PREFIX, load_transcripts
 
 CFG = PipelineConfig(logstash_format=True, logstash_prefix="logs")
 
+from ..functions import text as TXT  # noqa: E402  (oracle tokenizer twins)
+
+#: DuckDB tokenizer fragments (round 5 — Unicode/CJK-aware, single
+#: source in functions/text.py so Spark and oracle can never drift).
+#: On ASCII text these are byte-identical to the r4 fragments
+#: (`string_split_regex(trim(text),'\s+')` / `[^a-z0-9]+`).
+T_WS = TXT.ws_tokens_sql("text")
+T_WS_LOWER = TXT.ws_tokens_sql("lower(text)")
+T_UNI = TXT.unicode_tokens_sql("text")
+T_BPE = f"regexp_extract_all({TXT.cjk_pad_sql('text')}, '{TXT.BPE_ISH_SQL}')"
+
 #: DuckDB-side fragments shared by several oracles
 SQL_GROK = r"'^\[(\w+)\] req=(\d+) took=(\d+)ms (.*)$'"
 SQL_LOGSTASH_INDEX = "lower(concat('logs-', strftime(ts, '%Y.%m.%d')))"
@@ -655,7 +666,7 @@ def q_text_stats(spark, sf_dir):
 
 O_TEXT_STATS = r"""
 WITH toks AS (SELECT doc_id, length(text) AS n_chars,
-                     string_split_regex(trim(text), '\s+') AS t FROM documents)
+                     string_split_regex(trim(regexp_replace(text, '([㐀-䶿一-鿿豈-﫿぀-ヿ가-힯])', ' \1 ', 'g')), '\s+') AS t FROM documents)
 SELECT doc_id,
   CAST(len(t) AS BIGINT) AS n_tokens,
   CAST(n_chars AS BIGINT) AS n_chars,
@@ -670,8 +681,8 @@ def q_token_counts(spark, sf_dir):
 
 O_TOKEN_COUNTS = r"""
 SELECT doc_id,
-  CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_ws_tokens,
-  CAST(len(regexp_extract_all(text, '[A-Za-z]+|\d+|[^\sA-Za-z\d]')) AS BIGINT) AS n_bpe_tokens
+  CAST(len(string_split_regex(trim(regexp_replace(text, '([㐀-䶿一-鿿豈-﫿぀-ヿ가-힯])', ' \1 ', 'g')), '\s+')) AS BIGINT) AS n_ws_tokens,
+  CAST(len(regexp_extract_all(regexp_replace(text, '([㐀-䶿一-鿿豈-﫿぀-ヿ가-힯])', ' \1 ', 'g'), '\pL+|\d+|[^\s\pL\d]')) AS BIGINT) AS n_bpe_tokens
 FROM documents"""
 
 
@@ -683,18 +694,36 @@ def q_lang_pred(spark, sf_dir):
     )
 
 
-O_LANG_PRED = r"""
-WITH toks AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t FROM documents),
-s AS (SELECT doc_id,
+def _lang_pred_sql(source: str = "documents") -> str:
+    """DuckDB twin of ``DS.attach_lang`` (script tier + lexicon tier),
+    parameterized by source relation so planted multilingual corpora
+    reuse the exact chain."""
+    n_l = TXT.n_chars_in_sql("text", r"\pL")
+    n_han = TXT.n_chars_in_sql("text", TXT.HAN_CLASS_LIT)
+    n_kana = TXT.n_chars_in_sql("text", TXT.KANA_CLASS_LIT)
+    n_hang = TXT.n_chars_in_sql("text", TXT.HANGUL_CLASS_LIT)
+    n_cyr = TXT.n_chars_in_sql("text", TXT.CYRILLIC_CLASS_LIT)
+    return rf"""
+WITH toks AS (SELECT doc_id, {TXT.ws_tokens_sql("lower(text)")} AS t,
+  {n_l} AS nl, {n_han} AS nhan, {n_kana} AS nkana, {n_hang} AS nhang, {n_cyr} AS ncyr
+  FROM {source}),
+s AS (SELECT doc_id, nl, nhan, nkana, nhang, ncyr,
   len(list_filter(t, x -> x IN ('the','a','of','and','to','in','is'))) AS en,
   len(list_filter(t, x -> x IN ('der','die','das','und','ist','nicht'))) AS de,
   len(list_filter(t, x -> x IN ('le','la','de','et','est','pas'))) AS fr FROM toks)
-SELECT CASE WHEN greatest(en, de, fr) <= 0 THEN 'unk'
+SELECT CASE WHEN nkana > 0 AND 2*(nkana + nhan) > nl THEN 'ja'
+            WHEN 2*nhang > nl THEN 'ko'
+            WHEN 2*nhan > nl THEN 'zh'
+            WHEN 2*ncyr > nl THEN 'ru'
+            WHEN greatest(en, de, fr) <= 0 THEN 'unk'
             WHEN en = greatest(en, de, fr) THEN 'en'
             WHEN de = greatest(en, de, fr) THEN 'de'
             ELSE 'fr' END AS pred_lang,
        count(*) AS n_docs
 FROM s GROUP BY 1"""
+
+
+O_LANG_PRED = _lang_pred_sql()
 
 
 def q_lang_source_profile(spark, sf_dir):
@@ -738,7 +767,7 @@ def _simhash_oracle(bits: int = 32) -> str:
     terms = " + ".join(f"(CASE WHEN v{j} > 0 THEN 1::BIGINT ELSE 0 END << {j})" for j in range(bits))
     return rf"""
 WITH toks AS (
-  SELECT doc_id, unnest(list_distinct(string_split_regex(trim(text), '\s+'))) AS tok
+  SELECT doc_id, unnest(list_distinct(string_split_regex(trim(regexp_replace(text, '([㐀-䶿一-鿿豈-﫿぀-ヿ가-힯])', ' \1 ', 'g')), '\s+'))) AS tok
   FROM documents),
 h AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS th FROM toks),
 votes AS (SELECT doc_id,
@@ -913,7 +942,7 @@ def q_quality_filter(spark, sf_dir):
 
 O_QUALITY_FILTER = r"""
 WITH toks AS (SELECT doc_id, length(text) AS n_chars,
-                     string_split_regex(trim(text), '\s+') AS t FROM documents)
+                     string_split_regex(trim(regexp_replace(text, '([㐀-䶿一-鿿豈-﫿぀-ヿ가-힯])', ' \1 ', 'g')), '\s+') AS t FROM documents)
 SELECT doc_id FROM toks
 WHERE len(t) >= 20 AND n_chars >= 100 AND len(list_distinct(t)) * 4 >= len(t)"""
 
@@ -1153,7 +1182,7 @@ def _minhash_md5_sql_ctes(
         for b in range(bands)
     )
     return rf"""toks AS (
-  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM {source}
+  SELECT doc_id, string_split_regex(trim(regexp_replace(text, '([㐀-䶿一-鿿豈-﫿぀-ヿ가-힯])', ' \1 ', 'g')), '\s+') AS t FROM {source}
   WHERE text IS NOT NULL),
 sh AS (
   SELECT doc_id,
@@ -1192,7 +1221,7 @@ def _winnow_md5_sql_ctes(k: int = 3, w: int = 4, max_postings: int = 500) -> str
     winnow_fingerprints/winnow_pairs(hasher=_md5_hasher))."""
     gram = " || ' ' || ".join(f"t[i+{j + 1}]" for j in range(k))
     return rf"""toks AS (
-  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents
+  SELECT doc_id, string_split_regex(trim(regexp_replace(text, '([㐀-䶿一-鿿豈-﫿぀-ヿ가-힯])', ' \1 ', 'g')), '\s+') AS t FROM documents
   WHERE text IS NOT NULL),
 g AS (
   SELECT doc_id, list_transform(range(len(t) - {k - 1}), i -> {gram}) AS grams
@@ -1265,7 +1294,7 @@ def _dup_spans_md5_sql_ctes(w: int = 16) -> str:
     duplicate_spans(hasher=_md5_hasher))."""
     gram = " || ' ' || ".join(f"t[i+{j + 1}]" for j in range(w))
     return rf"""toks AS (
-  SELECT doc_id, text, string_split_regex(trim(text), '\s+') AS t FROM documents
+  SELECT doc_id, text, string_split_regex(trim(regexp_replace(text, '([㐀-䶿一-鿿豈-﫿぀-ヿ가-힯])', ' \1 ', 'g')), '\s+') AS t FROM documents
   WHERE text IS NOT NULL),
 g AS (
   SELECT doc_id, list_transform(range(len(t) - {w - 1}), i -> {gram}) AS grams
@@ -1462,7 +1491,7 @@ def q_curated_corpus(spark, sf_dir):
 #: clusters (recursive CTE) → ``text_kept`` = the text-curated doc set
 _CURATE_TEXT_CTES = (
     r"""qtoks AS (
-  SELECT doc_id, length(text) AS n_chars, string_split_regex(trim(text), '\s+') AS t
+  SELECT doc_id, length(text) AS n_chars, string_split_regex(trim(regexp_replace(text, '([㐀-䶿一-鿿豈-﫿぀-ヿ가-힯])', ' \1 ', 'g')), '\s+') AS t
   FROM documents),
 quality AS (
   SELECT doc_id FROM qtoks
@@ -1958,7 +1987,7 @@ def q_contamination(spark, sf_dir):
 
 
 O_CONTAMINATION = r"""
-WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents),
+WITH toks AS (SELECT doc_id, string_split_regex(trim(regexp_replace(text, '([㐀-䶿一-鿿豈-﫿぀-ヿ가-힯])', ' \1 ', 'g')), '\s+') AS t FROM documents),
 bench AS (SELECT doc_id AS bench_id, array_to_string(t[5:12], ' ') AS ngram
           FROM toks WHERE doc_id % 20 = 0 AND len(t) >= 12),
 doc_ngrams AS (SELECT doc_id, array_to_string(t[CAST(i AS INT):CAST(i + 7 AS INT)], ' ') AS ngram
@@ -1979,7 +2008,7 @@ def q_bm25_topk(spark, sf_dir):
 
 O_BM25 = r"""
 WITH d AS (SELECT doc_id,
-             list_filter(string_split_regex(lower(trim(text)), '[^a-z0-9]+'), t -> t <> '') AS toks
+             regexp_extract_all(regexp_replace(lower(text), '([㐀-䶿一-鿿豈-﫿぀-ヿ가-힯])', ' \1 ', 'g'), '[\pL\pN]+') AS toks
            FROM documents),
 post AS (SELECT doc_id, u.t AS term, count(*) AS tf FROM d, unnest(toks) AS u(t) GROUP BY 1, 2),
 dl AS (SELECT doc_id, len(toks) AS dl FROM d),
@@ -2010,7 +2039,7 @@ def q_tfidf_keywords(spark, sf_dir):
 
 O_TFIDF = r"""
 WITH d AS (SELECT doc_id,
-             list_filter(string_split_regex(lower(trim(text)), '[^a-z0-9]+'), t -> t <> '') AS toks
+             regexp_extract_all(regexp_replace(lower(text), '([㐀-䶿一-鿿豈-﫿぀-ヿ가-힯])', ' \1 ', 'g'), '[\pL\pN]+') AS toks
            FROM documents),
 post AS (SELECT doc_id, u.t AS term, count(*) AS tf FROM d, unnest(toks) AS u(t) GROUP BY 1, 2),
 dfs AS (SELECT term, count(*) AS df FROM post GROUP BY 1),
@@ -2085,7 +2114,7 @@ WITH s AS (
                ('0x' || substr(md5(concat('split#0', cast(doc_id AS STRING))), 1, 15))::BIGINT % 1000 AS bk
         FROM documents)
 ),
-toks AS (SELECT doc_id, split, string_split_regex(trim(text), '\s+') AS t FROM s),
+toks AS (SELECT doc_id, split, string_split_regex(trim(regexp_replace(text, '([㐀-䶿一-鿿豈-﫿぀-ヿ가-힯])', ' \1 ', 'g')), '\s+') AS t FROM s),
 hold_ng AS (SELECT DISTINCT array_to_string(t[CAST(i AS INT):CAST(i + 7 AS INT)], ' ') AS ngram
             FROM toks, unnest(range(1, len(t) - 6)) AS u(i) WHERE split <> 'train'),
 contam AS (SELECT DISTINCT d.doc_id
@@ -2140,7 +2169,7 @@ def q_sequence_packing(spark, sf_dir):
 
 
 O_PACKING = r"""
-WITH tc AS (SELECT doc_id, CAST(len(regexp_extract_all(text, '[A-Za-z]+|\d+|[^\sA-Za-z\d]')) AS BIGINT) AS n_tokens FROM documents),
+WITH tc AS (SELECT doc_id, CAST(len(regexp_extract_all(regexp_replace(text, '([㐀-䶿一-鿿豈-﫿぀-ヿ가-힯])', ' \1 ', 'g'), '\pL+|\d+|[^\s\pL\d]')) AS BIGINT) AS n_tokens FROM documents),
 c AS (SELECT doc_id, n_tokens,
         CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_off
       FROM tc)
@@ -2159,7 +2188,7 @@ def q_doc_chunks(spark, sf_dir):
 
 O_DOC_CHUNKS = r"""
 WITH toks AS (
-  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+  SELECT doc_id, string_split_regex(trim(regexp_replace(text, '([㐀-䶿一-鿿豈-﫿぀-ヿ가-힯])', ' \1 ', 'g')), '\s+') AS t
   FROM documents WHERE text IS NOT NULL AND trim(text) <> ''),
 n AS (SELECT doc_id, t, CAST(len(t) AS BIGINT) AS n FROM toks),
 k AS (SELECT doc_id, t, n,
@@ -2184,7 +2213,7 @@ def q_pack_manifest(spark, sf_dir):
 
 
 O_PACK_MANIFEST = r"""
-WITH tc AS (SELECT doc_id, CAST(len(regexp_extract_all(text, '[A-Za-z]+|\d+|[^\sA-Za-z\d]')) AS BIGINT) AS n_tokens FROM documents),
+WITH tc AS (SELECT doc_id, CAST(len(regexp_extract_all(regexp_replace(text, '([㐀-䶿一-鿿豈-﫿぀-ヿ가-힯])', ' \1 ', 'g'), '\pL+|\d+|[^\s\pL\d]')) AS BIGINT) AS n_tokens FROM documents),
 c AS (SELECT doc_id, n_tokens,
         CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_off
       FROM tc),
@@ -2240,7 +2269,7 @@ def _o_curated_clean() -> str:
         f"red AS (SELECT doc_id, {_sql_redact('text')} AS text FROM pii),\n"
         + _curate_text_ctes_from("red")
         + r""",
-ctoks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM red),
+ctoks AS (SELECT doc_id, string_split_regex(trim(regexp_replace(text, '([㐀-䶿一-鿿豈-﫿぀-ヿ가-힯])', ' \1 ', 'g')), '\s+') AS t FROM red),
 cbench AS (SELECT doc_id AS bench_id, array_to_string(t[5:12], ' ') AS ngram
            FROM ctoks WHERE doc_id % 20 = 0 AND len(t) >= 12),
 cngrams AS (SELECT doc_id, array_to_string(t[CAST(i AS INT):CAST(i + 7 AS INT)], ' ') AS ngram
@@ -2261,7 +2290,7 @@ def q_sequence_packing_by_source(spark, sf_dir):
 
 
 O_PACKING_BY_SOURCE = r"""
-WITH tc AS (SELECT source, doc_id, CAST(len(regexp_extract_all(text, '[A-Za-z]+|\d+|[^\sA-Za-z\d]')) AS BIGINT) AS n_tokens FROM documents),
+WITH tc AS (SELECT source, doc_id, CAST(len(regexp_extract_all(regexp_replace(text, '([㐀-䶿一-鿿豈-﫿぀-ヿ가-힯])', ' \1 ', 'g'), '\pL+|\d+|[^\s\pL\d]')) AS BIGINT) AS n_tokens FROM documents),
 c AS (SELECT source, doc_id, n_tokens,
         CAST(coalesce(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_off
       FROM tc)
@@ -2436,7 +2465,7 @@ lstats AS (
          CAST(coalesce(sum(c) FILTER (WHERE c > 1), 0) AS BIGINT) AS n_dup_lines,
          CAST(coalesce(sum(c * ln) FILTER (WHERE c > 1), 0) AS BIGINT) AS dup_line_chars
   FROM lc GROUP BY doc_id),
-toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM lined),
+toks AS (SELECT doc_id, string_split_regex(trim(regexp_replace(text, '([㐀-䶿一-鿿豈-﫿぀-ヿ가-힯])', ' \1 ', 'g')), '\s+') AS t FROM lined),
 bg AS (
   SELECT doc_id, concat(t[CAST(i AS INT)], ' ', t[CAST(i + 1 AS INT)]) AS b, count(*) AS c
   FROM toks, unnest(range(1, len(t))) AS u(i)
@@ -2513,7 +2542,7 @@ def q_dsir_scores(spark, sf_dir):
 
 
 O_DSIR = r"""
-WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents),
+WITH toks AS (SELECT doc_id, string_split_regex(trim(regexp_replace(text, '([㐀-䶿一-鿿豈-﫿぀-ヿ가-힯])', ' \1 ', 'g')), '\s+') AS t FROM documents),
 uni AS (SELECT doc_id, unnest(t) AS ng FROM toks),
 bi AS (SELECT doc_id, t[CAST(i AS INT)] || ' ' || t[CAST(i AS INT) + 1] AS ng
        FROM toks, unnest(range(1, len(t))) AS u(i)),
@@ -2628,7 +2657,7 @@ def q_lm_ce(spark, sf_dir):
 
 
 O_LM_CE = r"""
-WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents),
+WITH toks AS (SELECT doc_id, string_split_regex(trim(regexp_replace(text, '([㐀-䶿一-鿿豈-﫿぀-ヿ가-힯])', ' \1 ', 'g')), '\s+') AS t FROM documents),
 uni AS (SELECT doc_id, unnest(t) AS ng FROM toks),
 bi AS (SELECT doc_id, t[CAST(i AS INT)] || ' ' || t[CAST(i AS INT) + 1] AS ng
        FROM toks, unnest(range(1, len(t))) AS u(i)),
