@@ -694,17 +694,17 @@ def q_lang_pred(spark, sf_dir):
     )
 
 
-def _lang_pred_sql(source: str = "documents") -> str:
+def _lang_pred_sql(source: str = "documents", prelude: str = "") -> str:
     """DuckDB twin of ``DS.attach_lang`` (script tier + lexicon tier),
-    parameterized by source relation so planted multilingual corpora
-    reuse the exact chain."""
+    parameterized by source relation (+ optional extra leading CTEs)
+    so planted multilingual corpora reuse the exact chain."""
     n_l = TXT.n_chars_in_sql("text", r"\pL")
     n_han = TXT.n_chars_in_sql("text", TXT.HAN_CLASS_LIT)
     n_kana = TXT.n_chars_in_sql("text", TXT.KANA_CLASS_LIT)
     n_hang = TXT.n_chars_in_sql("text", TXT.HANGUL_CLASS_LIT)
     n_cyr = TXT.n_chars_in_sql("text", TXT.CYRILLIC_CLASS_LIT)
     return rf"""
-WITH toks AS (SELECT doc_id, {TXT.ws_tokens_sql("lower(text)")} AS t,
+WITH {prelude}toks AS (SELECT doc_id, {TXT.ws_tokens_sql("lower(text)")} AS t,
   {n_l} AS nl, {n_han} AS nhan, {n_kana} AS nkana, {n_hang} AS nhang, {n_cyr} AS ncyr
   FROM {source}),
 s AS (SELECT doc_id, nl, nhan, nkana, nhang, ncyr,
@@ -2006,14 +2006,18 @@ def q_bm25_topk(spark, sf_dir):
     return bm25_topk(_docs(spark, sf_dir), "hash join merge", k=10)
 
 
-O_BM25 = r"""
-WITH d AS (SELECT doc_id,
-             regexp_extract_all(regexp_replace(lower(text), '([㐀-䶿一-鿿豈-﫿぀-ヿ가-힯])', ' \1 ', 'g'), '[\pL\pN]+') AS toks
-           FROM documents),
+def _bm25_sql(query: str, source: str = "documents", prelude: str = "", k: int = 10) -> str:
+    """DuckDB twin of ``bm25_topk`` parameterized by query string and
+    source relation (terms derived through the SAME tokenizer as the
+    Spark side — functions.text.tokenize_py)."""
+    terms = ", ".join(f"'{t}'" for t in sorted(set(TXT.tokenize_py(query))))
+    return rf"""
+WITH {prelude}d AS (SELECT doc_id, {TXT.unicode_tokens_sql("text")} AS toks
+           FROM {source} WHERE text IS NOT NULL),
 post AS (SELECT doc_id, u.t AS term, count(*) AS tf FROM d, unnest(toks) AS u(t) GROUP BY 1, 2),
 dl AS (SELECT doc_id, len(toks) AS dl FROM d),
 stats AS (SELECT count(*) AS n_docs, avg(len(toks)) AS avgdl FROM d),
-hits AS (SELECT * FROM post WHERE term IN ('hash', 'join', 'merge')),
+hits AS (SELECT * FROM post WHERE term IN ({terms})),
 dfs AS (SELECT term, count(*) AS df FROM hits GROUP BY 1),
 scored AS (
   SELECT h.doc_id,
@@ -2025,7 +2029,10 @@ scored AS (
 sel AS (SELECT doc_id, score_micro,
           CAST(row_number() OVER (ORDER BY score_micro DESC, doc_id) AS INT) AS rank
         FROM scored)
-SELECT rank, doc_id, score_micro FROM sel WHERE rank <= 10"""
+SELECT rank, doc_id, score_micro FROM sel WHERE rank <= {k}"""
+
+
+O_BM25 = _bm25_sql("hash join merge")
 
 
 def q_tfidf_keywords(spark, sf_dir):
@@ -2052,6 +2059,119 @@ SELECT doc_id, term, rank, w_micro FROM (
     CAST(row_number() OVER (PARTITION BY doc_id ORDER BY w_micro DESC, term) AS INT) AS rank
   FROM scored)
 WHERE rank <= 3"""
+
+
+# ---------------------------------------------------------------------------
+# Planted multilingual corpus (round 5): proves the Unicode tokenizer
+# makes non-Latin documents first-class in search, near-dup, and
+# lang-id. The corpus is synthesized DETERMINISTICALLY from doc_id by
+# the same (base, repeated-bonus) sentences on both engines, so every
+# chain below is a full value-for-value oracle. CJK sentences contain
+# NO whitespace — under the r4 tokenizers they produced zero terms and
+# zero shingles (the r4 VERDICT top gap).
+# ---------------------------------------------------------------------------
+
+#: (base sentence, repeated bonus clause) per doc_id%6 bucket —
+#: en / ja / zh / ru / ko / fr. Shared verbatim by the Spark builder
+#: and the DuckDB CTE.
+_ML_CASES = [
+    ("the quick brown fox jumps over the lazy dog and the cat ",
+     "search engine relevance ranking "),
+    ("分散システムの検索エンジンは転置インデックスを使う。",
+     "高速な全文検索と関連度の順位付け。"),
+    ("大规模语言模型的训练数据去重非常重要,",
+     "近似重复检测与精确匹配。"),
+    ("Поисковая система использует обратный индекс для быстрого поиска ",
+     "релевантность и ранжирование документов "),
+    ("한국어 문서 검색 엔진은 역색인을 사용한다 ",
+     "빠른 전문 검색과 관련성 "),
+    ("le café et le résumé ne sont pas la même chose ",
+     "la pertinence de la recherche est importante "),
+]
+
+#: BM25 probe: Japanese, no whitespace — tokenizes to unigram chars
+_ML_QUERY = "検索エンジン高速"
+
+
+def _ml_docs(spark, sf_dir):
+    """60-doc multilingual corpus: doc_id 0..59 from documents, text
+    synthesized per doc_id%6 bucket with (doc_id div 6)%3+1 bonus
+    repeats — div 6 so the repeat count is INDEPENDENT of the language
+    bucket, giving intra-bucket near-dups with varying tf (jaccard<1
+    pairs, distinct BM25 scores)."""
+    d = _docs(spark, sf_dir).select("doc_id").filter(F.col("doc_id") < 60)
+    reps = (F.expr("doc_id div 6") % 3 + 1).cast("int")
+    expr = None
+    for i, (base, bonus) in enumerate(_ML_CASES):
+        cond = (F.col("doc_id") % 6) == i
+        val = F.concat(F.lit(base), F.repeat(F.lit(bonus), reps))
+        expr = F.when(cond, val) if expr is None else expr.when(cond, val)
+    return d.withColumn("text", expr)
+
+
+def _ml_docs_sql() -> str:
+    """DuckDB CTE twin of ``_ml_docs`` (named ml_docs)."""
+    whens = "\n    ".join(
+        f"WHEN {i} THEN '{base}' || repeat('{bonus}', CAST((doc_id // 6) % 3 + 1 AS INT))"
+        for i, (base, bonus) in enumerate(_ML_CASES)
+    )
+    return (
+        "ml_docs AS (SELECT doc_id, CASE doc_id % 6\n    "
+        + whens
+        + "\n    END AS text FROM documents WHERE doc_id < 60)"
+    )
+
+
+def q_multilingual_bm25(spark, sf_dir):
+    """BM25 top-k for a CJK query over the planted multilingual
+    corpus — a query with NO whitespace and NO ASCII must rank the
+    Japanese docs by term frequency. Full-chain oracle (tokenize →
+    postings → idf → score → top-k), micro-unit exact."""
+    from ..operators.search import bm25_topk
+
+    return bm25_topk(_ml_docs(spark, sf_dir), _ML_QUERY, k=10)
+
+
+O_ML_BM25 = _bm25_sql(_ML_QUERY, source="ml_docs", prelude=_ml_docs_sql() + ",\n")
+
+
+def q_multilingual_lang_pred(spark, sf_dir):
+    """Script-tier language ID over the planted corpus: exactly 10
+    docs per language, ja/zh/ko by script majority, ru by Cyrillic,
+    en/fr by the stopword lexicon."""
+    return (
+        DS.lang_id_ngram(_ml_docs(spark, sf_dir))
+        .groupBy("pred_lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+O_ML_LANG_PRED = _lang_pred_sql(source="ml_docs", prelude=_ml_docs_sql() + ",\n")
+
+
+def q_multilingual_dedup_pairs(spark, sf_dir):
+    """MinHash+LSH near-dup pairs over the planted multilingual
+    corpus (md5 twin, full chain): CJK docs — zero shingles under the
+    r4 whitespace tokenizer — must now form near-dup pairs within
+    their language bucket and never across buckets."""
+    return DS.minhash_lsh_pairs(
+        _ml_docs(spark, sf_dir),
+        num_hashes=8,
+        bands=4,
+        min_jaccard=0.2,
+        max_bucket_size=1_000_000,
+        hasher=DS._md5_hasher,
+        bucket_by_values=True,
+    )
+
+
+O_ML_DEDUP = (
+    "WITH "
+    + _ml_docs_sql()
+    + ",\n"
+    + _minhash_md5_sql_ctes(source="ml_docs")
+    + "\nSELECT doc_a, doc_b, jaccard FROM pairs"
+)
 
 
 def q_log_templates(spark, sf_dir):
@@ -2771,23 +2891,29 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "session_stats": q_session_stats,
     "placeholder_routing": q_placeholder_routing,
     "alias_rollover": q_alias_rollover,
-    "semantic_clusters": q_semantic_clusters,
     "grok_extract": q_grok_extract,
-    "conv_render": q_conv_render,
     "minhash_md5_pairs": q_minhash_md5_pairs,
     "simhash_neardup_md5": q_simhash_neardup_md5,
     "ngram_jaccard": q_ngram_jaccard,
     "dedup_clusters": q_dedup_clusters,
     "embedding_neardup_lsh_md5": q_embedding_neardup_lsh_md5,
     "pii_redaction": q_pii_redaction,
-    "contamination": q_contamination,
     "stratified_sample": q_stratified_sample,
     "quota_sample": q_quota_sample,
-    "sequence_packing_by_source": q_sequence_packing_by_source,
     "hourly_heavy_hitters": q_hourly_heavy_hitters,
     "curated_corpus_clean": q_curated_corpus_clean,
-    "ivf_topk_md5": q_ivf_topk_md5,
     "multimodal_features": q_multimodal_features,
+    # r5 additions — Unicode tokenizer proof over the planted
+    # multilingual corpus (full-chain oracles), plus the two families
+    # the r4 ADVICE flagged as graded-window gaps. Each displaced
+    # entry below has a recorded-green driver row AND a retained
+    # window sibling covering the same operator family (notes at its
+    # new tail position).
+    "multilingual_bm25": q_multilingual_bm25,
+    "multilingual_lang_pred": q_multilingual_lang_pred,
+    "multilingual_dedup_pairs": q_multilingual_dedup_pairs,
+    "corpus_splits": q_corpus_splits,
+    "tool_transitions": q_tool_transitions,
     # r4 additions — new operator families, promoted into the driver's
     # 50-row window (each displaced entry below has a recorded-green r3
     # row AND a retained sibling covering the same operator)
@@ -2804,6 +2930,16 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- tail (positions 50+): oracle-checked-but-redundant queries
     # recorded green in CORRECTNESS_r03 (retained sibling noted per
     # line), then the rows-only variants ---
+    "semantic_clusters": q_semantic_clusters,  # r4-green; Lloyd chain
+    # also full-chain-replayed inside semdedup_corpus + ivf_kmeans_topk
+    "conv_render": q_conv_render,  # r4-green; session_stats +
+    # per_conv_stats cover O4 ordered rendering
+    "contamination": q_contamination,  # r4-green; curated_corpus_clean
+    # + corpus_splits both recompute the 8-gram decontamination chain
+    "ivf_topk_md5": q_ivf_topk_md5,  # r4-green; ivf_kmeans_topk anchors
+    # IVF, embedding_neardup_lsh_md5 anchors sign-LSH
+    "sequence_packing_by_source": q_sequence_packing_by_source,  # r4-green;
+    # pack_manifest full-chain-recomputes the packing prefix-sum
     "timestamp_iso": q_timestamp_iso,  # timestamp_precedence subsumes
     "route_target_index_override": q_route_target_index_override,  # r2+r3
     # recorded green; route_logstash_counts covers R2 resolution
@@ -2853,8 +2989,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "winnow_pairs": q_winnow_pairs,
     "lm_ce": q_lm_ce,
     "dup_spans": q_dup_spans,
-    "corpus_splits": q_corpus_splits,
-    "tool_transitions": q_tool_transitions,
     "quality_filter": q_quality_filter,
     "knn_label_vote": q_knn_label_vote,
     "missing_id_dlq": q_missing_id_dlq,
@@ -2946,6 +3080,9 @@ ORACLES: dict[str, str] = {
     "semantic_clusters": O_SEMANTIC_CLUSTERS,
     "semdedup_corpus": O_SEMDEDUP,
     "bm25_topk": O_BM25,
+    "multilingual_bm25": O_ML_BM25,
+    "multilingual_lang_pred": O_ML_LANG_PRED,
+    "multilingual_dedup_pairs": O_ML_DEDUP,
     "log_templates": O_LOG_TEMPLATES,
     "ivf_kmeans_topk": O_IVF_KMEANS,
     "conv_render": O_CONV_RENDER,
