@@ -326,6 +326,7 @@ def index_stream(
     table: str = "postings",
     stats_table: str = "search_stats",
     n_buckets: int | None = None,
+    upsert: bool = False,
 ):
     """Incrementally maintain the inverted search index as documents
     arrive. ``id_col`` MUST identify an ATOMIC ingest unit fully
@@ -342,8 +343,14 @@ def index_stream(
     independently (the ingest_dedup_stream pattern) and the index
     equals a from-scratch batch build at every point (parity-tested).
     Compaction of append fragmentation is the normal maintenance pass
-    (jobs/maintain_sinks.py)."""
-    from ..operators.search import index_batch
+    (jobs/maintain_sinks.py).
+
+    ``upsert=True`` (r5) routes each micro-batch through
+    ``index_upsert_batch``: a doc id re-ingested in a LATER micro-batch
+    supersedes its previous postings (per-doc generations + stale set)
+    instead of double-counting tf/df — the re-ingest-safe mode. The
+    append-only default keeps the r4 contract (immutable doc ids)."""
+    from ..operators.search import index_batch, index_upsert_batch
 
     # marker scope: checkpoint-instance nonce + batch id (the ADVICE-r2
     # pattern every stream here uses) — a recreated checkpoint restarts
@@ -356,6 +363,20 @@ def index_stream(
     n_parts = spark.sparkContext.defaultParallelism
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
+        if upsert:
+            index_upsert_batch(
+                batch_df.sparkSession,
+                catalog,
+                batch_df,
+                id_col=id_col,
+                text_col=text_col,
+                n_buckets=n_buckets,
+                table=table,
+                stats_table=stats_table,
+                sink_partitions=min(n_parts, n_buckets),
+                marker=f"idx-{stream_id}-{batch_id}",
+            )
+            return
         docs = batch_df.filter(F.col(text_col).isNotNull()).persist()
         try:
             post, stats = index_batch(
