@@ -1364,6 +1364,17 @@ def kmeans_fit(
     the driver (the canonical Lloyd-on-Spark shape). Clusters that go
     empty simply drop out of the next pass (mirrored by the oracle).
 
+    Literal-inlining ceiling (ADVICE r4): the assignment expression
+    grows as k·d literals, and Catalyst plan/codegen costs grow with
+    it — fine through k·d ≈ 10⁴ (e.g. 100 cells × 64 dims or 16 × 768);
+    beyond that, assignment should switch to a broadcast centroid join
+    (explode the centroid table, groupBy-argmin per vector: one extra
+    narrow shuffle-free pass but O(1) plan size). The sandbox IVF
+    builds sit well under the ceiling, so the literal path — which
+    keeps the full-chain DuckDB oracle trivially expressible — is the
+    implemented one; treat k·d > ~10⁴ as the cue to add the join
+    variant.
+
     Returns ``(centroids, assigned)``: the final centroid table as a
     Python list of (cluster, quantized-vector) pairs — the IVF probe
     side — and the assignment frame (id_col, ``_q`` quantized vector,

@@ -308,10 +308,25 @@ class SinkCatalog:
         ``rollback_to_snapshot``): the rolled-back state commits as a
         NEW version in the same single atomic flip, so history stays
         append-only and the abandoned versions remain time-travelable
-        until ``expire_snapshots``. Returns the new current version."""
+        until ``expire_snapshots``. Returns the new current version.
+
+        The OUTGOING current state is force-recorded into the snapshot
+        log even under default retention (r5, ADVICE r4): on a
+        ``snapshots_kept <= 1`` catalog the pre-rollback state was
+        never snapshotted, and without this it would become
+        unrecoverable the moment vacuum runs — breaking this method's
+        own contract. ``expire_snapshots`` releases it explicitly."""
         target = {p: list(vs) for p, vs in self._partitions_at(table, version).items()}
         m = self.manifest(table)
-        new_version = m["current_version"] + 1
+        cur = m["current_version"]
+        log = m.get("snapshots", [])
+        if m["partitions"] and cur not in {s["version"] for s in log}:
+            log.append(
+                {"version": cur,
+                 "partitions": {p: list(vs) for p, vs in m["partitions"].items()}}
+            )
+            m["snapshots"] = log
+        new_version = cur + 1
         m["partitions"] = target
         m["current_version"] = new_version
         self._record_snapshot(m, new_version)

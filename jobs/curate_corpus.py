@@ -116,18 +116,26 @@ def main(argv: list[str]) -> None:
             "n_removed_tokens"
         )
         text_mutated = True
-    n_lang_dropped = 0
+    n_lang_dropped = None
     if args.keep_langs:
         from fluent_plugin_opensearch_spark.operators.dataset import attach_lang
 
         langs = [x.strip() for x in args.keep_langs.split(",") if x.strip()]
         # language judged on the FINAL text (post-redaction/strip), as
         # an attached column — one projection + filter, never a
-        # (doc_id, pred) join-back against the corpus
+        # (doc_id, pred) join-back against the corpus. The dropped
+        # count is ONE aggregate over the tagged frame (r5, ADVICE r4:
+        # the previous before/after .count() pair re-executed the
+        # whole upstream mutation chain twice for one stat; an observe
+        # metric can't be used here — the frame self-joins inside
+        # curate_corpus, duplicating the CollectMetrics node).
         tagged = attach_lang(docs)
-        before = docs.count()
+        agg = tagged.agg(
+            F.count(F.lit(1)).alias("n_pre"),
+            F.count(F.when(F.col("pred_lang").isin(langs), 1)).alias("n_kept"),
+        ).first()
+        n_lang_dropped = agg["n_pre"] - agg["n_kept"]
         docs = tagged.filter(F.col("pred_lang").isin(langs)).drop("pred_lang")
-        n_lang_dropped = before - docs.count()
     dropped_stale: list[str] = []
     if text_mutated:
         # every text-DERIVED metadata column must be recomputed (or
@@ -139,9 +147,11 @@ def main(argv: list[str]) -> None:
         # text-derived — lang, n_stopwords, quality scores, cached
         # signatures all are). --keep-cols is the caller's assertion
         # that a named column is text-independent.
+        from fluent_plugin_opensearch_spark.functions.text import ws_tokens
+
         recompute = {
             "n_chars": F.length("text").cast("bigint"),
-            "n_tokens": F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("bigint"),
+            "n_tokens": F.size(ws_tokens(F.col("text"))).cast("bigint"),
             # same definition as operators/dataset.py:fingerprint
             "fingerprint": F.md5(
                 F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
@@ -188,7 +198,7 @@ def main(argv: list[str]) -> None:
     curated.write.mode("overwrite").parquet(args.output)
     n_out = spark.read.parquet(args.output).count()
     stats = {"input_docs": n_in, "kept_docs": n_out, "dropped": n_in - n_out}
-    if args.keep_langs:
+    if n_lang_dropped is not None:
         stats["lang_dropped"] = n_lang_dropped
     if dropped_stale:
         stats["dropped_stale_cols"] = sorted(dropped_stale)

@@ -8,10 +8,16 @@ rewrite_data_files + expire_snapshots pair, on the sandbox catalog):
 
 Per table: collapse partitions fragmented across more than
 ``--max-versions`` version dirs into one fresh version (atomic
-commit), trim the snapshot log to ``--keep-snapshots`` entries, then
-vacuum unreferenced version dirs. Prints one JSON line with per-table
-counts. ``--dry-run`` reports what would be done without touching
-anything.
+commit), optionally trim the snapshot log to ``--keep-snapshots``
+entries, then vacuum unreferenced version dirs. Prints one JSON line
+with per-table counts. ``--dry-run`` reports what would be done
+without touching anything.
+
+Retention is OPT-IN (r5, ADVICE r4): by default the snapshot log is
+left at its existing length — a plain maintenance run must never trim
+a history-keeping writer's log to one entry and let the vacuum GC the
+released version dirs. Dropping history is the explicit act of
+passing ``--keep-snapshots N`` (0 = drop all history).
 """
 
 from __future__ import annotations
@@ -28,11 +34,12 @@ def main(argv: list[str]) -> None:
     p.add_argument("--tables", default=None,
                    help="comma-separated; default: every table dir with a manifest")
     p.add_argument("--max-versions", type=int, default=1)
-    p.add_argument("--keep-snapshots", type=int, default=1,
-                   help="historical snapshot-log entries to retain (matches the "
-                        "library expire_snapshots default). Dropping history is "
-                        "explicit: pass 0. The current state is always readable "
-                        "regardless.")
+    p.add_argument("--keep-snapshots", type=int, default=None,
+                   help="historical snapshot-log entries to retain. Default: "
+                        "preserve the existing log length (expire_snapshots is "
+                        "skipped entirely). Dropping history is explicit: pass "
+                        "a number (0 = drop all). The current state is always "
+                        "readable regardless.")
     p.add_argument("--dry-run", action="store_true")
     args = p.parse_args(argv)
 
@@ -66,7 +73,10 @@ def main(argv: list[str]) -> None:
         entry = {"fragmented_partitions": len(frag)}
         if args.dry_run:
             entry["snapshots_retained"] = pre_snapshots
-            entry["would_expire"] = max(0, pre_snapshots - args.keep_snapshots)
+            entry["would_expire"] = (
+                0 if args.keep_snapshots is None
+                else max(0, pre_snapshots - args.keep_snapshots)
+            )
             report[table] = entry
             continue
         if frag:
@@ -75,9 +85,10 @@ def main(argv: list[str]) -> None:
             entry["compacted_partitions"] = cat.compact(
                 spark, table, max_versions=args.max_versions
             )
-        entry["expired_snapshots"] = cat.expire_snapshots(
-            table, keep=args.keep_snapshots
-        )
+        if args.keep_snapshots is not None:
+            entry["expired_snapshots"] = cat.expire_snapshots(
+                table, keep=args.keep_snapshots
+            )
         entry["vacuumed_dirs"] = cat.vacuum(table)
         # post-maintenance state, so the report never claims history
         # that was just expired

@@ -439,6 +439,36 @@ def test_default_catalog_preserves_existing_history(spark, tmp_path):
     assert {r["_id"]: r["v"] for r in plain.read(spark, "sink").collect()} == {"a": 3}
 
 
+def test_rollback_force_records_outgoing_state(spark, tmp_path):
+    """rollback on a default-retention catalog (r5, ADVICE r4): the
+    pre-rollback current state was never snapshotted (snapshots_kept=1
+    no-ops _record_snapshot), so rollback force-records it — the
+    abandoned version stays time-travelable until expire_snapshots,
+    as the docstring promises."""
+    hist = SinkCatalog(str(tmp_path), snapshots_kept=8)
+    cfg = PipelineConfig(write_operation="index", id_key="_id")
+    merge_write(spark, _df(spark, [("a", "i1", 1)]), hist, cfg)
+    v1 = hist.manifest("sink")["current_version"]
+    merge_write(spark, _df(spark, [("a", "i1", 2), ("b", "i2", 1)]), hist, cfg)
+    v2 = hist.manifest("sink")["current_version"]
+
+    plain = SinkCatalog(str(tmp_path))  # e.g. an ops script w/ defaults
+    # a commit through the default catalog: the new current state is
+    # NOT recorded in the snapshot log
+    merge_write(spark, _df(spark, [("a", "i1", 3)]), plain, cfg)
+    v3 = plain.manifest("sink")["current_version"]
+    assert v3 not in {s["version"] for s in plain.manifest("sink").get("snapshots", [])}
+    assert v2 != v3
+
+    plain.rollback("sink", v1)
+    plain.vacuum("sink")
+    # the abandoned current (v3) state survived rollback + vacuum
+    got = {r["_id"]: r["v"] for r in plain.read(spark, "sink", version=v3).collect()}
+    assert got == {"a": 3, "b": 1}
+    # and the live table is the rolled-back state
+    assert {r["_id"]: r["v"] for r in plain.read(spark, "sink").collect()} == {"a": 1}
+
+
 def test_maintain_sinks_job(spark, tmp_path, capsys):
     """Maintenance CLI: compacts fragmented partitions, expires the
     snapshot log to the retention target, vacuums the released dirs —
@@ -459,18 +489,28 @@ def test_maintain_sinks_job(spark, tmp_path, capsys):
     maintain_main(["--warehouse", str(tmp_path), "--dry-run"])
     dry = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert dry["tables"]["sink"]["fragmented_partitions"] == 1
-    assert dry["tables"]["sink"]["would_expire"] == 2  # default keeps 1
+    assert dry["tables"]["sink"]["would_expire"] == 0  # r5: retention opt-in
     assert len(cat.manifest("sink")["partitions"]["i1"]) == 3  # untouched
 
     with pytest.raises(SystemExit):  # unknown table fails loudly
         maintain_main(["--warehouse", str(tmp_path), "--tables", "sinkk"])
     capsys.readouterr()
 
+    # a DEFAULT maintenance run compacts but preserves the full
+    # snapshot log (r5, ADVICE r4: history-dropping must be opt-in)
+    pre_snapshots = len(cat.manifest("sink").get("snapshots", []))
+    maintain_main(["--warehouse", str(tmp_path)])
+    rep0 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert "expired_snapshots" not in rep0["tables"]["sink"]
+    assert rep0["tables"]["sink"]["compacted_partitions"] == 1
+    assert rep0["tables"]["sink"]["snapshots_retained"] == pre_snapshots
+    # the log's version dirs survived the default run's vacuum
+    assert cat.read(spark, "sink", version=cat.snapshots("sink")[0]).count() == 1
+
     # dropping history is explicit
     maintain_main(["--warehouse", str(tmp_path), "--keep-snapshots", "0"])
     rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
-    assert rep["tables"]["sink"]["compacted_partitions"] == 1
-    assert len(rep["tables"]["sink"]["expired_snapshots"]) == 3
+    assert len(rep["tables"]["sink"]["expired_snapshots"]) == pre_snapshots
     assert rep["tables"]["sink"]["snapshots_retained"] == 0  # post-state
     m = cat.manifest("sink")
     assert len(m["partitions"]["i1"]) == 1
