@@ -2,6 +2,7 @@
 curated corpus into epoch-ready training shards.
 
     [deterministic train/val/test split + holdout decontamination →]
+    [LM cross-entropy quality gate → DSIR target-domain selection →]
     token-budget mixture sampling → deterministic epoch shuffle +
     shard assignment → shard-partitioned parquet (rows in training
     order) [+ optional sequence-packing span sidecar]
@@ -10,8 +11,19 @@ curated corpus into epoch-ready training shards.
         --input <curated documents parquet> --output <dir> \\
         [--splits '{"train": 900, "val": 50, "test": 50}' \\
          --decontaminate-ngram 8] \\
+        [--max-ce-micro 15000000 [--lm-ref <parquet>]] \\
+        [--dsir-target <parquet> --dsir-keep 100000 [--dsir-buckets 4096]] \\
         [--weights '{"web": 600, "code": 250}' --budget-tokens 2000000] \\
         [--n-shards 64] [--epoch 0] [--pack-budget 4096]
+
+The quality/importance stages (r5, VERDICT r4 #7) make the full
+curate → score → split → mix → shard → pack pipeline one CLI: the CE
+gate drops high-perplexity docs under a hashed-n-gram reference LM
+(fit on --lm-ref, else on the corpus itself) and runs on the TRAIN
+side only, after decontamination (scoring dropped docs would waste
+the corpus scan); DSIR then keeps the --dsir-keep docs most like the
+target domain (broadcast weight table, one corpus shuffle) — both
+identical to the standalone operators the oracles check.
 
 Layout written under --output:
     shards/shard=K/...parquet   rows (pos, doc_id, text, n_tokens)
@@ -50,6 +62,19 @@ def main(argv: list[str]) -> None:
     p.add_argument("--decontaminate-ngram", type=int, default=0,
                    help="with --splits: drop train docs sharing any "
                         "word n-gram of this size with a holdout doc")
+    p.add_argument("--max-ce-micro", type=int, default=None,
+                   help="drop docs whose per-feature LM cross-entropy "
+                        "(micro-nats) exceeds this — the CCNet-style "
+                        "perplexity quality gate")
+    p.add_argument("--lm-ref", default=None,
+                   help="parquet corpus to fit the reference LM on "
+                        "(default: the input corpus itself)")
+    p.add_argument("--dsir-target", default=None,
+                   help="parquet of target-domain docs (doc_id, text): "
+                        "keep only the --dsir-keep docs with the highest "
+                        "DSIR importance score")
+    p.add_argument("--dsir-keep", type=int, default=100_000)
+    p.add_argument("--dsir-buckets", type=int, default=4096)
     p.add_argument("--weights", default=None,
                    help="JSON {source: permille-of-budget}; with "
                         "--budget-tokens enables mixture sampling")
@@ -65,6 +90,8 @@ def main(argv: list[str]) -> None:
         p.error("--weights and --budget-tokens must be given together")
     if args.decontaminate_ngram and not args.splits:
         p.error("--decontaminate-ngram requires --splits")
+    if args.lm_ref and args.max_ce_micro is None:
+        p.error("--lm-ref requires --max-ce-micro")
 
     from pyspark.sql import SparkSession
     from pyspark.sql import functions as F
@@ -119,6 +146,39 @@ def main(argv: list[str]) -> None:
             train = train.join(contam.select("doc_id"), "doc_id", "left_anti")
             split_stats["train_dropped_contaminated"] = n_leaked
         docs = train
+
+    # running doc count — each stage's dropped stat costs ONE count of
+    # its (small) keep set, never a before/after pair re-running the
+    # upstream chain twice (the curate-job ADVICE-r4 lesson)
+    n_now = n_in
+    if split_stats is not None:
+        n_now = split_stats["train"] - split_stats.get("train_dropped_contaminated", 0)
+    quality_stats = {}
+    if args.max_ce_micro is not None:
+        from fluent_plugin_opensearch_spark.operators.curation import lm_cross_entropy
+
+        lm_ref = spark.read.parquet(args.lm_ref) if args.lm_ref else None
+        ce = lm_cross_entropy(docs, lm_ref)
+        keep = ce.filter(F.col("ce_micro") <= args.max_ce_micro).select("doc_id")
+        n_keep = keep.count()
+        quality_stats["ce_dropped"] = n_now - n_keep
+        n_now = n_keep
+        docs = docs.join(keep, "doc_id", "left_semi")
+    if args.dsir_target:
+        from fluent_plugin_opensearch_spark.operators.curation import dsir_scores
+
+        target = spark.read.parquet(args.dsir_target)
+        scores = dsir_scores(docs, target, buckets=args.dsir_buckets)
+        # orderBy+limit is a distributed TakeOrdered (per-partition
+        # top-k then a k-row merge), not a global sort
+        keep = (
+            scores.orderBy(F.col("dsir_score_micro").desc(), F.col("doc_id"))
+            .limit(args.dsir_keep)
+            .select("doc_id")
+        )
+        n_keep = keep.count()  # ≤ --dsir-keep rows
+        quality_stats["dsir_dropped"] = n_now - n_keep
+        docs = docs.join(keep, "doc_id", "left_semi")
 
     plan_rows = None
     if args.weights:
@@ -176,6 +236,7 @@ def main(argv: list[str]) -> None:
     }
     if split_stats is not None:
         stats["splits"] = split_stats
+    stats.update(quality_stats)
     if plan_rows is not None:
         stats["mixture_plan"] = plan_rows
         zero = [

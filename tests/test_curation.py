@@ -620,6 +620,80 @@ def test_build_training_set_job(spark, tmp_path, capsys):
     assert spark.read.parquet(f"{out}/packs").count() == len(got)
 
 
+def test_build_training_set_job_quality_stages(spark, tmp_path, capsys):
+    """r5 (VERDICT r4 #7): the composed pipeline — split → decontam →
+    LM-CE quality gate → DSIR target selection → mixture → shards —
+    runs as ONE CLI and reproduces the standalone operators' doc sets
+    and counts exactly."""
+    import json
+
+    from jobs.build_training_set import main as job_main
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    target_path = str(tmp_path / "target")
+    docs.filter(F.col("source") == "src0").select("doc_id", "text").write.parquet(
+        target_path
+    )
+    splits = {"train": 900, "val": 100}
+    # threshold from the standalone operator: median CE over the
+    # decontaminated train split (some docs drop, some survive)
+    tagged = CU.split_corpus(docs, splits)
+    train = tagged.filter(F.col("split") == "train").drop("split")
+    holdout = tagged.filter(F.col("split") != "train")
+    contam = CU.contamination_check(
+        train,
+        holdout.select(F.col("doc_id").alias("bench_id"), "text"),
+        n=8,
+        broadcast_bench=False,
+    )
+    train = train.join(contam.select("doc_id"), "doc_id", "left_anti")
+    ce_vals = sorted(
+        r["ce_micro"] for r in CU.lm_cross_entropy(train).collect()
+    )
+    max_ce = int(ce_vals[len(ce_vals) // 2])
+
+    out = str(tmp_path / "ts")
+    weights = {"src0": 3000, "src1": 3000}
+    job_main([
+        "--input", f"{SF_SMOKE}/documents.parquet", "--output", out,
+        "--splits", json.dumps(splits), "--decontaminate-ngram", "8",
+        "--max-ce-micro", str(max_ce),
+        "--dsir-target", target_path, "--dsir-keep", "150",
+        "--weights", json.dumps(weights), "--budget-tokens", "3000",
+        "--n-shards", "4", "--epoch", "0",
+    ])
+    stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+
+    # standalone replication of the composed chain
+    ce_keep = CU.lm_cross_entropy(train).filter(
+        F.col("ce_micro") <= max_ce
+    ).select("doc_id")
+    n_pre_ce = train.count()
+    train2 = train.join(ce_keep, "doc_id", "left_semi")
+    n_post_ce = train2.count()
+    target = spark.read.parquet(target_path)
+    dsir_keep = (
+        CU.dsir_scores(train2, target)
+        .orderBy(F.col("dsir_score_micro").desc(), F.col("doc_id"))
+        .limit(150)
+        .select("doc_id")
+    )
+    train3 = train2.join(dsir_keep, "doc_id", "left_semi")
+    n_post_dsir = train3.count()
+    kept = CU.mixture_sample(train3, weights, 3000)
+    order = {
+        r["doc_id"]: (r["shard"], r["pos"])
+        for r in CU.training_shards(kept, 4, epoch=0).collect()
+    }
+
+    assert stats["ce_dropped"] == n_pre_ce - n_post_ce > 0
+    assert stats["dsir_dropped"] == n_post_ce - n_post_dsir
+    assert stats["kept_docs"] == len(order) > 0
+    back = spark.read.parquet(f"{out}/shards")
+    got = {r["doc_id"]: (r["shard"], r["pos"]) for r in back.collect()}
+    assert got == order
+
+
 def test_pack_manifest_inverse_invariants(spark):
     """Slices tile each doc contiguously from 0 and sum to n_tokens;
     per pack they sum to the budget (except the final partial pack);
