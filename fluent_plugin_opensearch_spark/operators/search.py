@@ -447,6 +447,7 @@ def index_upsert_batch(
     from ..sinks.writer import append_to_sink
 
     docs = docs.filter(F.col(text_col).isNotNull()).persist()
+    cached = [docs]
     try:
         counts = docs.agg(
             F.count(F.lit(1)).alias("n"), F.countDistinct(id_col).alias("nd")
@@ -485,6 +486,7 @@ def index_upsert_batch(
                     )
                     .persist()
                 )
+                cached.append(updated_old)
 
         if updated_old is not None:
             gen_frame = batch_docs.join(F.broadcast(updated_old), id_col, "left")
@@ -499,6 +501,7 @@ def index_upsert_batch(
             gen_frame = batch_docs.withColumn("gen", F.lit(1).cast("bigint"))
             n_updated, dl_old_sum = 0, 0
         gen_frame = gen_frame.select(id_col, "dl", "gen", "_index").persist()
+        cached.append(gen_frame)
 
         # 1) stale set: the superseded generations
         if n_updated:
@@ -530,7 +533,10 @@ def index_upsert_batch(
         append_to_sink(stats, catalog, stats_table, marker=marker)
         return {"input": n_batch, "new_docs": n_batch - n_updated, "updated_docs": n_updated}
     finally:
-        docs.unpersist()
+        # a continuous upsert stream calls this per micro-batch —
+        # leaked caches would accumulate for the stream's lifetime
+        for df in cached:
+            df.unpersist()
 
 
 def _merge_index_docs(spark, catalog, docs_table, gen_frame, id_col, marker):
@@ -563,6 +569,7 @@ def _merge_index_docs(spark, catalog, docs_table, gen_frame, id_col, marker):
         replace=True,
         marker=marker,
     )
+    catalog.vacuum(docs_table)  # GC the replaced buckets' old dirs
 
 
 def prune_stale_postings(
@@ -608,3 +615,78 @@ def prune_stale_postings(
     catalog.commit(stale_table, sversion, [], replace=True, removed=sparts)
     catalog.vacuum(stale_table)
     return n_stale
+
+
+# ---------------------------------------------------------------------------
+# Positional phrase search (round 5) — the match_phrase analog
+# ---------------------------------------------------------------------------
+
+def positional_postings(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Positional inverted index rows: one (id, pos, term) per token
+    occurrence (0-based position) — the posting shape phrase queries
+    need. Same tokenizer as ``term_postings`` (Unicode, CJK unigram),
+    one posexplode, no shuffle; at scale it is written term-bucketed
+    like the tf postings."""
+    return docs.select(
+        F.col(id_col), F.posexplode(_tokens(text_col)).alias("pos", "term")
+    )
+
+
+def phrase_search(
+    docs: DataFrame,
+    phrase: str,
+    k: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact phrase match (OpenSearch ``match_phrase``): documents
+    containing the phrase's tokens at CONSECUTIVE positions, ranked by
+    occurrence count (ties by id). The reference feeds a search engine
+    whose users run phrase queries; this supplies that read-side
+    capability over the same corpus, Unicode/CJK included.
+
+    Plan shape (scales — never a per-term self-join chain): a phrase
+    occurrence at anchor ``a`` needs token(a+i) == t_i for every query
+    offset i, so: positional postings filtered to the phrase's terms →
+    broadcast-join the tiny (i, term) query frame → anchor = pos − i →
+    ONE hash aggregate on (doc, anchor) counting DISTINCT matched
+    offsets; an anchor with all m offsets is an occurrence. Repeated
+    query terms are handled exactly (each offset counted once). One
+    explode + one broadcast join + two hash aggregates; the top-k uses
+    the same two-phase exact window as bm25_topk.
+
+    Returns (rank, id_col, n_occurrences).
+    """
+    terms = tokenize_py(phrase)
+    if not terms:
+        raise ValueError("phrase has no tokens")
+    m = len(terms)
+    spark = docs.sparkSession
+    q = spark.createDataFrame(list(enumerate(terms)), "i int, term string")
+    post = positional_postings(
+        docs.filter(F.col(text_col).isNotNull()), id_col, text_col
+    ).filter(F.col("term").isin(sorted(set(terms))))
+    hits = (
+        post.join(F.broadcast(q), "term")
+        .select(F.col(id_col), (F.col("pos") - F.col("i")).alias("_anchor"), "i")
+        .groupBy(id_col, "_anchor")
+        .agg(F.countDistinct("i").alias("_nm"))
+        .filter((F.col("_nm") == m) & (F.col("_anchor") >= 0))
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+    )
+    w_local = Window.partitionBy("_pid").orderBy(F.desc("n_occurrences"), F.col(id_col))
+    pre = (
+        hits.withColumn("_pid", F.spark_partition_id())
+        .withColumn("_lr", F.row_number().over(w_local))
+        .filter(F.col("_lr") <= k)
+        .drop("_pid", "_lr")
+    )
+    w = Window.orderBy(F.desc("n_occurrences"), F.col(id_col))
+    return (
+        pre.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("rank", id_col, "n_occurrences")
+    )

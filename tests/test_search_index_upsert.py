@@ -115,6 +115,46 @@ def test_search_index_plan_has_no_term_window(spark, tmp_path):
     assert "windowspecdefinition(term" not in plan, plan
 
 
+def test_index_corpus_job(spark, tmp_path, capsys):
+    """The index CLI end-to-end: two upsert ingests (second updates a
+    doc), partition-pruned query matching fresh bm25_topk, idempotent
+    re-ingest by batch id, then stale pruning."""
+    import json
+
+    from jobs.index_corpus import main as job_main
+
+    wh = str(tmp_path / "wh")
+    b1p, b2p = str(tmp_path / "b1"), str(tmp_path / "b2")
+    _mk(spark, B1).write.parquet(b1p)
+    _mk(spark, B2).write.parquet(b2p)
+
+    job_main(["--warehouse", wh, "--ingest", b1p, "--upsert", "--batch-id", "1"])
+    s1 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert s1["new_docs"] == 3 and s1["updated_docs"] == 0
+    job_main(["--warehouse", wh, "--ingest", b2p, "--upsert", "--batch-id", "2"])
+    s2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert s2["new_docs"] == 1 and s2["updated_docs"] == 1
+
+    job_main(["--warehouse", wh, "--query", "shuffle join", "--k", "10"])
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    want = _topk(bm25_topk(_mk(spark, FINAL), "shuffle join", k=10))
+    assert [(h["rank"], h["doc_id"], h["score_micro"]) for h in rep["hits"]] == want
+
+    # idempotent re-ingest: same batch id is a skip, results unchanged
+    job_main(["--warehouse", wh, "--ingest", b2p, "--upsert", "--batch-id", "2"])
+    capsys.readouterr()
+    job_main(["--warehouse", wh, "--query", "shuffle join", "--k", "10"])
+    rep2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep2["hits"] == rep["hits"]
+
+    job_main(["--warehouse", wh, "--prune-stale"])
+    pr = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert pr["stale_cleared"] == 1
+    job_main(["--warehouse", wh, "--query", "shuffle join", "--k", "10"])
+    rep3 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep3["hits"] == rep["hits"]
+
+
 def test_index_stream_upsert_parity(spark, tmp_path):
     """Streamed build with a later micro-batch updating an earlier
     doc: search_index over the streamed index == fresh bm25_topk over
