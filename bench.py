@@ -75,6 +75,10 @@ BENCH_QUERIES = [
     "winnow_pairs_md5",
     "semantic_clusters",
     "bm25_topk",
+    # round-5 additions
+    "multilingual_bm25",
+    "multilingual_dedup_pairs",
+    "phrase_search_multilingual",
 ]
 
 CFG = PipelineConfig(logstash_format=True, logstash_prefix="logs")

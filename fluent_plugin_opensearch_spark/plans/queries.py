@@ -2135,6 +2135,40 @@ def q_multilingual_bm25(spark, sf_dir):
 O_ML_BM25 = _bm25_sql(_ML_QUERY, source="ml_docs", prelude=_ml_docs_sql() + ",\n")
 
 
+def _phrase_sql(phrase: str, source: str = "documents", prelude: str = "", k: int = 10) -> str:
+    """DuckDB twin of ``phrase_search`` — positions from stop-exclusive
+    range (CLAUDE.md: yields BIGINT, CAST before subscripting), query
+    offsets as a VALUES CTE derived through the same tokenizer."""
+    terms = TXT.tokenize_py(phrase)
+    vals = ", ".join(f"({i}, '{t}')" for i, t in enumerate(terms))
+    return rf"""
+WITH {prelude}d AS (SELECT doc_id, {TXT.unicode_tokens_sql("text")} AS toks
+           FROM {source} WHERE text IS NOT NULL),
+pp AS (SELECT doc_id, CAST(i AS BIGINT) - 1 AS pos, toks[CAST(i AS INT)] AS term
+       FROM d, unnest(range(1, len(toks) + 1)) AS u(i)),
+q(i, term) AS (VALUES {vals}),
+m AS (SELECT pp.doc_id, pp.pos - q.i AS anchor, q.i AS i FROM pp JOIN q USING (term)),
+occ AS (SELECT doc_id, anchor FROM m
+        GROUP BY doc_id, anchor HAVING count(DISTINCT i) = {len(terms)} AND anchor >= 0),
+cnt AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_occurrences FROM occ GROUP BY doc_id)
+SELECT CAST(row_number() OVER (ORDER BY n_occurrences DESC, doc_id) AS INT) AS rank,
+       doc_id, n_occurrences
+FROM cnt QUALIFY rank <= {k}"""
+
+
+def q_phrase_search_multilingual(spark, sf_dir):
+    """Exact phrase match (match_phrase analog) for a CJK phrase with
+    NO whitespace over the planted multilingual corpus: occurrence
+    counts must equal each doc's bonus-repeat count — full-chain
+    positional oracle (r4 tokenizers found zero occurrences)."""
+    from ..operators.search import phrase_search
+
+    return phrase_search(_ml_docs(spark, sf_dir), "全文検索", k=10)
+
+
+O_ML_PHRASE = _phrase_sql("全文検索", source="ml_docs", prelude=_ml_docs_sql() + ",\n")
+
+
 def q_multilingual_lang_pred(spark, sf_dir):
     """Script-tier language ID over the planted corpus: exactly 10
     docs per language, ja/zh/ko by script majority, ru by Cyrillic,
@@ -2900,7 +2934,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pii_redaction": q_pii_redaction,
     "stratified_sample": q_stratified_sample,
     "quota_sample": q_quota_sample,
-    "hourly_heavy_hitters": q_hourly_heavy_hitters,
     "curated_corpus_clean": q_curated_corpus_clean,
     "multimodal_features": q_multimodal_features,
     # r5 additions — Unicode tokenizer proof over the planted
@@ -2912,6 +2945,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multilingual_bm25": q_multilingual_bm25,
     "multilingual_lang_pred": q_multilingual_lang_pred,
     "multilingual_dedup_pairs": q_multilingual_dedup_pairs,
+    "phrase_search_multilingual": q_phrase_search_multilingual,
     "corpus_splits": q_corpus_splits,
     "tool_transitions": q_tool_transitions,
     # r4 additions — new operator families, promoted into the driver's
@@ -2940,6 +2974,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # IVF, embedding_neardup_lsh_md5 anchors sign-LSH
     "sequence_packing_by_source": q_sequence_packing_by_source,  # r4-green;
     # pack_manifest full-chain-recomputes the packing prefix-sum
+    "hourly_heavy_hitters": q_hourly_heavy_hitters,  # r4-green;
+    # session_stats anchors sessions, rollup_cascade (r3-green window,
+    # retained tail) covers the cascade re-agg; streaming twins tested
     "timestamp_iso": q_timestamp_iso,  # timestamp_precedence subsumes
     "route_target_index_override": q_route_target_index_override,  # r2+r3
     # recorded green; route_logstash_counts covers R2 resolution
@@ -3083,6 +3120,7 @@ ORACLES: dict[str, str] = {
     "multilingual_bm25": O_ML_BM25,
     "multilingual_lang_pred": O_ML_LANG_PRED,
     "multilingual_dedup_pairs": O_ML_DEDUP,
+    "phrase_search_multilingual": O_ML_PHRASE,
     "log_templates": O_LOG_TEMPLATES,
     "ivf_kmeans_topk": O_IVF_KMEANS,
     "conv_render": O_CONV_RENDER,

@@ -129,6 +129,34 @@ def test_oracle_fragments_not_drifted():
     assert T.cjk_pad_sql("text") in src, "cjk_pad_sql fragment drifted"
 
 
+def test_phrase_search(spark):
+    """match_phrase analog: consecutive-position semantics, repeated
+    query terms counted exactly, occurrence-count ranking, CJK
+    no-whitespace phrases, and scattered-tokens non-matches."""
+    from fluent_plugin_opensearch_spark.operators.search import phrase_search
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the cat sat on the cat mat"),
+            (2, "cat and then the dog"),  # both terms, never adjacent as "the cat"
+            (3, "the cat the cat the cat"),
+            (4, "nothing relevant"),
+            (5, "全文検索は高速です"),
+        ],
+        "doc_id long, text string",
+    )
+    got = [(r.rank, r.doc_id, r.n_occurrences) for r in phrase_search(docs, "the cat").collect()]
+    assert got == [(1, 3, 3), (2, 1, 2)]  # doc2 has both terms, never adjacent
+    # repeated term in the phrase: "the cat the" needs t(a)=the, t(a+1)=cat, t(a+2)=the
+    got = [(r.rank, r.doc_id, r.n_occurrences) for r in phrase_search(docs, "the cat the").collect()]
+    assert got == [(1, 3, 2)]
+    got = [(r.rank, r.doc_id, r.n_occurrences) for r in phrase_search(docs, "全文検索").collect()]
+    assert got == [(1, 5, 1)]
+    assert phrase_search(docs, "missing phrase entirely").collect() == []
+    with pytest.raises(ValueError, match="no tokens"):
+        phrase_search(docs, "...")
+
+
 def test_bpe_ish_counts_cjk_per_char(spark):
     from fluent_plugin_opensearch_spark.operators.dataset import token_count_bpe_ish
 
