@@ -9,8 +9,11 @@ scale unchanged. Misses stay as NULLs, never drops (left join).
 
 from __future__ import annotations
 
+import datetime as _dt
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 #: role_dict(role, role_class, priority) — FIXTURES.md §2
 ROLE_DICT_ROWS = [
@@ -57,6 +60,126 @@ def enrich(df: DataFrame, spark: SparkSession) -> DataFrame:
     return df.join(F.broadcast(role_dict(spark)), on="role", how="left").join(
         F.broadcast(tool_dict(spark)), on="tool", how="left"
     )
+
+
+#: tool_policy(tool, valid_from, policy, policy_rev) — versioned
+#: dimension fixture for the as-of join (the record_transformer-style
+#: enrichment where the dictionary itself changes over time; the
+#: reference re-reads its template/dictionary config per chunk flush,
+#: out_opensearch.rb:140-148 — in a batch engine the analog is joining
+#: each row to the dictionary version in force at its event time).
+#: The events window is 2024-01-01..2024-01-30, so the fixture covers
+#: every as-of edge: mid-window transitions (browser, search), a key
+#: whose first version post-dates early rows (python before Jan 05 →
+#: NULL), and a key whose versions all post-date the window
+#: (frobnicator → always NULL).
+TOOL_POLICY_ROWS = [
+    ("browser", _dt.datetime(2023, 12, 1), "allow", 1),
+    ("browser", _dt.datetime(2024, 1, 10), "sandbox", 2),
+    ("browser", _dt.datetime(2024, 1, 20), "block", 3),
+    ("search", _dt.datetime(2023, 12, 1), "allow", 1),
+    ("search", _dt.datetime(2024, 1, 15), "rate_limit", 2),
+    ("python", _dt.datetime(2024, 1, 5), "sandbox", 1),
+    ("frobnicator", _dt.datetime(2024, 6, 1), "block", 1),
+]
+
+#: the same versioned dimension as SQL literals (Spark SQL ∩ DuckDB:
+#: TIMESTAMP '...' literals are naive in both, matching the parquet
+#: timestamp_ntz event time).
+TOOL_POLICY_SQL = (
+    "(VALUES "
+    "('browser', TIMESTAMP '2023-12-01 00:00:00', 'allow', 1),"
+    "('browser', TIMESTAMP '2024-01-10 00:00:00', 'sandbox', 2),"
+    "('browser', TIMESTAMP '2024-01-20 00:00:00', 'block', 3),"
+    "('search', TIMESTAMP '2023-12-01 00:00:00', 'allow', 1),"
+    "('search', TIMESTAMP '2024-01-15 00:00:00', 'rate_limit', 2),"
+    "('python', TIMESTAMP '2024-01-05 00:00:00', 'sandbox', 1),"
+    "('frobnicator', TIMESTAMP '2024-06-01 00:00:00', 'block', 1)"
+    ") AS tool_policy(tool, valid_from, policy, policy_rev)"
+)
+
+
+def tool_policy(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame(
+        TOOL_POLICY_ROWS,
+        "tool string, valid_from timestamp_ntz, policy string, policy_rev int",
+    )
+
+
+def asof_enrich(
+    df: DataFrame,
+    versions: DataFrame,
+    on: str,
+    ts_col: str = "ts",
+    valid_col: str = "valid_from",
+) -> DataFrame:
+    """As-of enrichment, broadcast path: join each fact row to the
+    LATEST version of a slowly-changing dimension with
+    ``valid_from <= ts`` (inclusive), per key. Misses (NULL key, no
+    version yet, key absent) stay NULL — never dropped.
+
+    Scale design: the dimension is packed to ONE row per key holding a
+    valid_from-sorted array of version structs, broadcast, and probed
+    with a pure-projection array filter + element_at — the fact table
+    takes ZERO additional shuffle and the whole probe stays inside
+    whole-stage codegen. Use this when versions-per-key is bounded
+    (config/policy dims — thousands of versions per key is fine);
+    for unbounded version tables use :func:`asof_join`.
+    """
+    payload = [c for c in versions.columns if c not in (on, valid_col)]
+    # valid_col FIRST in the struct: sort_array orders array<struct>
+    # lexicographically by field position.
+    packed = versions.groupBy(on).agg(
+        F.sort_array(F.collect_list(F.struct(valid_col, *payload))).alias("_vers")
+    )
+    joined = df.join(F.broadcast(packed), on=on, how="left")
+    hits = F.filter(F.col("_vers"), lambda v: v[valid_col] <= F.col(ts_col))
+    # ANSI mode: element_at on an empty array throws — guard with when.
+    m = F.when(F.size(hits) > 0, F.element_at(hits, -1))
+    return joined.select(
+        *[F.col(c) for c in df.columns], *[m[c].alias(c) for c in payload]
+    )
+
+
+def asof_join(
+    df: DataFrame,
+    versions: DataFrame,
+    on: str,
+    ts_col: str = "ts",
+    valid_col: str = "valid_from",
+) -> DataFrame:
+    """As-of join, general path (large version tables): tag and union
+    the two frames, then one window per key ordered by event time with
+    ``last(payload, ignorenulls)`` carries the most recent version
+    forward onto each fact row. Inclusive at the boundary (a version
+    row sorts BEFORE a fact row at the same timestamp via the tag).
+
+    Scale design: exactly ONE shuffle (the window exchange on the key)
+    regardless of version-table size — the standard Spark as-of shape.
+    NULL-key facts can never match, so they bypass the union/window
+    entirely: a NULL-heavy key column (transcripts.tool is mostly
+    NULL) would otherwise funnel into a single window partition.
+    """
+    payload = [c for c in versions.columns if c not in (on, valid_col)]
+    null_out = df.where(F.col(on).isNull()).select(
+        "*", *[F.lit(None).cast(versions.schema[c].dataType).alias(c) for c in payload]
+    )
+    fact = df.where(F.col(on).isNotNull()).withColumn("_is_fact", F.lit(1))
+    vrs = versions.select(
+        F.col(on), F.col(valid_col).alias(ts_col), F.lit(0).alias("_is_fact"), *payload
+    )
+    u = fact.unionByName(vrs, allowMissingColumns=True)
+    w = (
+        Window.partitionBy(on)
+        .orderBy(F.col(ts_col).asc_nulls_first(), F.col("_is_fact").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = u.select(
+        *[F.col(c) for c in df.columns],
+        *[F.last(c, ignorenulls=True).over(w).alias(c) for c in payload],
+        F.col("_is_fact"),
+    )
+    return carried.where(F.col("_is_fact") == 1).drop("_is_fact").unionByName(null_out)
 
 
 def salt(df: DataFrame, n_buckets: int, cols: tuple[str, ...] = ("conv_id", "turn_idx")) -> DataFrame:

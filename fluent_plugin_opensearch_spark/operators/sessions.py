@@ -153,6 +153,71 @@ def _top_k_per_bucket(df: DataFrame, fmt: str, bucket_name: str, k: int) -> Data
     return rank_top_k(counts, bucket_name, k)
 
 
+def funnel_stages(
+    df: DataFrame,
+    steps: tuple[str, ...],
+    group_col: str = "conv_id",
+    order_col: str = "turn_idx",
+    match_col: str = "role",
+) -> DataFrame:
+    """Ordered-funnel analysis (the windowFunnel-style sequence matcher
+    common in event-analytics engines; the reference has no analog —
+    this is transcript-model bread-and-butter like the sessionizer
+    above): per group, the furthest 1-based stage ``s`` such that
+    ``steps[0..s-1]`` occur at strictly increasing ``order_col``
+    positions. Greedy earliest-match fold — provably equivalent to the
+    chained-min formulation (min idx of step1; min idx of step2 after
+    it; …), which is what the DuckDB oracle computes. Step labels must
+    be distinct. Groups matching nothing report stage 0.
+
+    Scale design: ONE groupBy shuffle. Non-step rows die inside the
+    aggregate (``collect_list`` drops the NULL of an un-otherwise'd
+    ``when``), so the collected array holds only step-matching turns;
+    the sort + linear fold run per group inside codegen — never a
+    window over raw turns, no Python.
+    """
+    if len(set(steps)) != len(steps):
+        raise ValueError("funnel steps must be distinct labels")
+    step_idx = None
+    for i, s in enumerate(steps):
+        step_idx = (
+            F.when(F.col(match_col) == s, i)
+            if step_idx is None
+            else step_idx.when(F.col(match_col) == s, i)
+        )
+    per = df.groupBy(group_col).agg(
+        F.sort_array(
+            F.collect_list(
+                F.when(
+                    step_idx.isNotNull(),
+                    F.struct(F.col(order_col).alias("o"), step_idx.alias("s")),
+                )
+            )
+        ).alias("_m")
+    )
+    stage = F.aggregate(
+        "_m", F.lit(0), lambda acc, x: F.when(x["s"] == acc, acc + 1).otherwise(acc)
+    )
+    return per.select(group_col, stage.cast("int").alias("stage"))
+
+
+def funnel_report(
+    df: DataFrame,
+    steps: tuple[str, ...],
+    group_col: str = "conv_id",
+    order_col: str = "turn_idx",
+    match_col: str = "role",
+) -> DataFrame:
+    """Funnel rollup: (stage, n_convs at exactly that stage, n_reached
+    = convs reaching ≥ stage). The cumulative window runs over the
+    per-stage count frame (≤ len(steps)+1 rows — driver-tiny, the
+    unpartitioned window is deliberate)."""
+    per = funnel_stages(df, steps, group_col, order_col, match_col)
+    byst = per.groupBy("stage").agg(F.count(F.lit(1)).alias("n_convs"))
+    w = Window.orderBy(F.desc("stage")).rowsBetween(Window.unboundedPreceding, 0)
+    return byst.select("stage", "n_convs", F.sum("n_convs").over(w).alias("n_reached"))
+
+
 def render_conversations(t, conv_col: str = "conv_id", text_col: str = "text"):
     """Transcripts→documents bridge: render each conversation into one
     training document — 'role: text' lines in stable (conv_id,
