@@ -153,6 +153,65 @@ def _top_k_per_bucket(df: DataFrame, fmt: str, bucket_name: str, k: int) -> Data
     return rank_top_k(counts, bucket_name, k)
 
 
+def cohort_retention(df: DataFrame) -> DataFrame:
+    """Cohort/retention matrix: conversations grouped by first-active
+    UTC day (the cohort), counted at each day-offset they were active.
+    Output: (cohort_day string, offset_days int, n_convs bigint).
+
+    Scale design: ONE groupBy shuffle — per conversation the distinct
+    active days collapse into a collect_set (bounded by the retention
+    horizon in days, ~365 entries worst-case, never by turns), the
+    cohort day is array_min of that set, and offsets explode from the
+    set; the final (cohort, offset) rollup is a hash aggregate over
+    |convs × active-days| rows, never raw turns.
+    """
+    per = (
+        df.select("conv_id", F.to_date("ts").alias("_day"))
+        .groupBy("conv_id")
+        .agg(F.collect_set("_day").alias("_days"))
+        .select(
+            F.array_min("_days").alias("_cohort"), F.explode("_days").alias("_day")
+        )
+    )
+    return per.groupBy(
+        F.date_format("_cohort", "yyyy-MM-dd").alias("cohort_day"),
+        F.datediff("_day", "_cohort").cast("int").alias("offset_days"),
+    ).agg(F.count(F.lit(1)).alias("n_convs"))
+
+
+def hourly_anomalies(df: DataFrame, k: int = 3) -> DataFrame:
+    """k-sigma spike detection over the hourly rollup — the alerting
+    query a log pipeline serves from its rollup table. An hour is
+    flagged when ``n > mean + k·σ_pop`` over the whole series,
+    evaluated in EXACT integer arithmetic so the boundary can never
+    drift between engines or under float reassociation:
+
+        n·cnt − s1 > 0  AND  (n·cnt − s1)² > k²·(cnt·s2 − s1²)
+
+    with s1 = Σn, s2 = Σn² (both accumulated as decimal(38,0): at
+    10¹² rows/30 days, s2 ≈ 1.4e21 would overflow BIGINT; decimal38 /
+    DuckDB HUGEINT carry it to ~1e38). Stats are ONE row riding a
+    broadcast cross join (the engine's standard stats-frame pattern);
+    the scan underneath is the hourly rollup, never raw turns.
+    """
+    hourly = df.groupBy(
+        F.date_format("ts", "yyyy-MM-dd").alias("day"),
+        F.hour("ts").alias("hour"),
+    ).agg(F.count(F.lit(1)).alias("n_turns"))
+    n_dec = F.col("n_turns").cast("decimal(38,0)")
+    stats = hourly.agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("_cnt"),
+        F.sum(n_dec).alias("_s1"),
+        F.sum(n_dec * n_dec).alias("_s2"),
+    )
+    j = hourly.crossJoin(F.broadcast(stats))
+    dev = F.col("n_turns").cast("decimal(38,0)") * F.col("_cnt") - F.col("_s1")
+    var_term = F.col("_cnt") * F.col("_s2") - F.col("_s1") * F.col("_s1")
+    return j.where((dev > 0) & (dev * dev > F.lit(k * k) * var_term)).select(
+        "day", "hour", "n_turns"
+    )
+
+
 def funnel_stages(
     df: DataFrame,
     steps: tuple[str, ...],

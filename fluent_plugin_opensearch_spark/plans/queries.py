@@ -2992,6 +2992,55 @@ FROM byst"""
 )
 
 
+def q_cohort_retention(spark, sf_dir):
+    """Cohort/retention matrix (operators/sessions.py:cohort_retention):
+    conversations bucketed by first-active day, counted per day-offset
+    they stayed active. One groupBy shuffle; offsets explode from a
+    per-conv distinct-day set bounded by the horizon."""
+    from ..operators.sessions import cohort_retention
+
+    return cohort_retention(_t(spark, sf_dir))
+
+
+O_COHORT_RETENTION = (
+    ORACLE_PREFIX
+    + """
+, d AS (SELECT DISTINCT conv_id, CAST(ts AS DATE) AS day FROM transcripts),
+c AS (SELECT conv_id, min(day) AS cohort FROM d GROUP BY conv_id)
+SELECT strftime(c.cohort, '%Y-%m-%d') AS cohort_day,
+       CAST(datediff('day', c.cohort, d.day) AS INT) AS offset_days,
+       count(*) AS n_convs
+FROM d JOIN c ON d.conv_id = c.conv_id
+GROUP BY 1, 2"""
+)
+
+
+def q_hourly_anomalies(spark, sf_dir):
+    """k-sigma hourly spike detection
+    (operators/sessions.py:hourly_anomalies) in exact integer
+    arithmetic — the flag boundary is engine-drift-proof by
+    construction (no float σ). Oracle recomputes the same integer
+    criterion from scratch in DuckDB (HUGEINT path)."""
+    from ..operators.sessions import hourly_anomalies
+
+    return hourly_anomalies(_t(spark, sf_dir), k=3)
+
+
+O_HOURLY_ANOMALIES = (
+    ORACLE_PREFIX
+    + """
+, h AS (SELECT strftime(ts, '%Y-%m-%d') AS day,
+               CAST(strftime(ts, '%H') AS INT) AS hour,
+               count(*) AS n_turns
+        FROM transcripts GROUP BY 1, 2),
+st AS (SELECT count(*) AS cnt, sum(n_turns) AS s1, sum(n_turns*n_turns) AS s2 FROM h)
+SELECT day, hour, CAST(n_turns AS BIGINT) AS n_turns
+FROM h, st
+WHERE (n_turns*cnt - s1) > 0
+  AND (n_turns*cnt - s1)*(n_turns*cnt - s1) > 9*(cnt*s2 - s1*s1)"""
+)
+
+
 # ---------------------------------------------------------------------------
 
 # QUERIES dict order matters to the driver: it records
@@ -3027,7 +3076,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "grok_extract": q_grok_extract,
     "minhash_md5_pairs": q_minhash_md5_pairs,
     "simhash_neardup_md5": q_simhash_neardup_md5,
-    "ngram_jaccard": q_ngram_jaccard,
     "dedup_clusters": q_dedup_clusters,
     "embedding_neardup_lsh_md5": q_embedding_neardup_lsh_md5,
     "pii_redaction": q_pii_redaction,
@@ -3053,6 +3101,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "asof_policy_counts": q_asof_policy_counts,
     "asof_policy_window": q_asof_policy_window,
     "funnel_roles": q_funnel_roles,
+    "cohort_retention": q_cohort_retention,
+    "hourly_anomalies": q_hourly_anomalies,
     # r4 additions — new operator families, promoted into the driver's
     # 50-row window (each displaced entry below has a recorded-green r3
     # row AND a retained sibling covering the same operator)
@@ -3061,7 +3111,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dsir_topk_md5": q_dsir_topk_md5,
     "dedup_incremental_md5": q_dedup_incremental_md5,
     "mixture_sample": q_mixture_sample,
-    "training_shards": q_training_shards,
     "pack_manifest": q_pack_manifest,
     "winnow_pairs_md5": q_winnow_pairs_md5,
     "doc_chunks": q_doc_chunks,
@@ -3070,6 +3119,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # line), then the rows-only variants ---
     "quota_sample": q_quota_sample,  # r3+r4-green; stratified_sample
     # anchors the deterministic-sampling family in the window
+    "ngram_jaccard": q_ngram_jaccard,  # r3+r4-green; minhash_md5_pairs
+    # anchors shingle→verify, winnow_pairs_md5 the posting-pair chain
+    "training_shards": q_training_shards,  # r4-green; corpus_splits
+    # anchors md5-bucket splits, pack_manifest the packing prefix-sum
     "tfidf_keywords": q_tfidf_keywords,  # r4-green; bm25_topk +
     # multilingual_bm25 anchor the tokenize→df→idf chain it shares
     "lm_ce_md5": q_lm_ce_md5,  # r4-green; dsir_topk_md5 anchors the
@@ -3149,6 +3202,8 @@ ORACLES: dict[str, str] = {
     "asof_policy_counts": O_ASOF_POLICY,
     "asof_policy_window": O_ASOF_WINDOW,
     "funnel_roles": O_FUNNEL_ROLES,
+    "cohort_retention": O_COHORT_RETENTION,
+    "hourly_anomalies": O_HOURLY_ANOMALIES,
     "route_logstash_counts": O_ROUTE_LOGSTASH,
     "route_target_index_override": O_ROUTE_OVERRIDE,
     "timestamp_iso": O_TIMESTAMP_ISO,
