@@ -198,6 +198,15 @@ def hourly_anomalies(df: DataFrame, k: int = 3) -> DataFrame:
         F.date_format("ts", "yyyy-MM-dd").alias("day"),
         F.hour("ts").alias("hour"),
     ).agg(F.count(F.lit(1)).alias("n_turns"))
+    return flag_sigma_anomalies(hourly, k)
+
+
+def flag_sigma_anomalies(hourly: DataFrame, k: int = 3) -> DataFrame:
+    """The shared flag criterion over a (day, hour, n_turns) count
+    frame — used by the batch operator above AND query-time over the
+    streamed rollup (streaming.anomalies_from_rollup), so the boundary
+    semantics can never drift between the twins (the rank_top_k
+    pattern)."""
     n_dec = F.col("n_turns").cast("decimal(38,0)")
     stats = hourly.agg(
         F.count(F.lit(1)).cast("decimal(38,0)").alias("_cnt"),

@@ -561,6 +561,73 @@ def heavy_hitters_sketch_stream(
     )
 
 
+def hourly_totals_stream(
+    spark: SparkSession,
+    source: DataFrame,
+    catalog: SinkCatalog,
+    checkpoint_dir: str,
+    window: str = "1 hour",
+    watermark: str = "24 hours",
+    available_now: bool = True,
+    processing_time: str = "60 seconds",
+    table: str = "hourly_totals",
+):
+    """Streamed hourly-totals rollup — the incrementally-maintained
+    base table for anomaly detection (``anomalies_from_rollup``).
+    Same design as ``heavy_hitter_rollup_stream``: update-mode
+    cumulative counts upserted into the catalog keyed on the hour
+    (idempotent under re-delivery — no marker needed), state bounded
+    by the watermark, rollup partitioned by day so each upsert
+    rewrites only touched days. The k-sigma flag itself is NOT
+    maintained in the stream: it depends on global series stats, so a
+    single late row can flip any hour's flag — flags are query-time
+    over the rollup, counts are the incremental part (the
+    rank-vs-count split of the heavy-hitter twin)."""
+    from ..sinks.writer import merge_write
+
+    counts = (
+        source.withColumn("ts", F.col("ts").cast("timestamp"))
+        .withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_turns"))
+        .select(F.date_format(F.col("w.start"), "yyyy-MM-dd HH").alias("hour"), "n_turns")
+    )
+    cfg = PipelineConfig(write_operation="upsert")
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        batch = batch_df.withColumn(
+            "_index", F.concat(F.lit("ht-"), F.substring("hour", 1, 10))
+        ).withColumn("_id", F.col("hour"))
+        merge_write(spark, batch, catalog, cfg, table=table)
+
+    writer = (
+        counts.writeStream.outputMode("update")
+        .foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime=processing_time)
+    return writer.start()
+
+
+def anomalies_from_rollup(rollup: DataFrame, k: int = 3) -> DataFrame:
+    """Query-time k-sigma flags over the streamed hourly rollup — the
+    SAME integer-exact criterion as the batch
+    ``sessions.hourly_anomalies`` (shared ``flag_sigma_anomalies``
+    helper, parity-tested), so the flag boundary cannot drift between
+    the twins."""
+    from ..operators.sessions import flag_sigma_anomalies
+
+    shaped = rollup.select(
+        F.substring("hour", 1, 10).alias("day"),
+        F.substring("hour", 12, 2).cast("int").alias("hour"),
+        "n_turns",
+    )
+    return flag_sigma_anomalies(shaped, k)
+
+
 def windowed_sink_counts(
     source: DataFrame, window: str = "1 hour", watermark: str = "10 minutes"
 ) -> DataFrame:

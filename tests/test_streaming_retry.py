@@ -636,3 +636,46 @@ def test_index_stream_search_matches_batch_bm25(spark, tmp_path):
     # and that is a strict subset of the table's partitions
     all_parts = set(cat.manifest("postings")["partitions"])
     assert allowed < all_parts
+
+
+def test_hourly_totals_stream_anomaly_parity(spark, tmp_path):
+    """Streamed hourly-totals rollup (update-mode upsert) + query-time
+    k-sigma flags equals the batch hourly_anomalies EXACTLY across a
+    multi-batch, time-unordered drain."""
+    from fluent_plugin_opensearch_spark.operators.sessions import hourly_anomalies
+    from fluent_plugin_opensearch_spark.streaming.stream import (
+        TRANSCRIPTS_SCHEMA,
+        anomalies_from_rollup,
+        hourly_totals_stream,
+    )
+
+    src_dir = str(tmp_path / "ht_src")
+    t = load_transcripts(spark, SF_SMOKE)
+    t.repartition(8).write.parquet(src_dir)
+    cat = SinkCatalog(str(tmp_path / "ht_wh"))
+    source = (
+        spark.readStream.schema(TRANSCRIPTS_SCHEMA)
+        .option("maxFilesPerTrigger", 2)  # force a multi-batch drain
+        .parquet(src_dir)
+    )
+    # unordered files spanning 30 days -> watermark must cover the span
+    # for exact parity (time-ordered real streams need only 24h)
+    q = hourly_totals_stream(
+        spark, source, cat, str(tmp_path / "ht_ckpt"), watermark="45 days"
+    )
+    q.awaitTermination(180)
+
+    rollup = cat.read(spark, "hourly_totals").select("hour", "n_turns")
+    got_counts = {r["hour"]: r["n_turns"] for r in rollup.collect()}
+    want_counts = {
+        r["hour"]: r["n_turns"]
+        for r in t.groupBy(F.date_format("ts", "yyyy-MM-dd HH").alias("hour"))
+        .agg(F.count(F.lit(1)).alias("n_turns"))
+        .collect()
+    }
+    assert got_counts == want_counts  # cumulative upserts converge exactly
+
+    for k in (2, 3):
+        g = sorted(tuple(r) for r in anomalies_from_rollup(rollup, k=k).collect())
+        w = sorted(tuple(r) for r in hourly_anomalies(t, k=k).collect())
+        assert g == w, f"k={k}"
