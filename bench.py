@@ -79,6 +79,11 @@ BENCH_QUERIES = [
     "multilingual_bm25",
     "multilingual_dedup_pairs",
     "phrase_search_multilingual",
+    # round-5 additions (late)
+    "asof_policy_counts",
+    "funnel_roles",
+    "cohort_retention",
+    "hourly_anomalies",
 ]
 
 CFG = PipelineConfig(logstash_format=True, logstash_prefix="logs")
