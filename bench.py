@@ -84,6 +84,8 @@ BENCH_QUERIES = [
     "funnel_roles",
     "cohort_retention",
     "hourly_anomalies",
+    "interval_window_counts",
+    "cusum_anomalies",
 ]
 
 CFG = PipelineConfig(logstash_format=True, logstash_prefix="logs")

@@ -182,6 +182,92 @@ def asof_join(
     return carried.where(F.col("_is_fact") == 1).drop("_is_fact").unionByName(null_out)
 
 
+#: maintenance_windows(window_id, starts, ends, severity) — interval
+#: fixture for the interval (range-containment) join. The events window
+#: is 2024-01-01..2024-01-30, so the rows plant every edge: a window
+#: straddling the data start, two OVERLAPPING windows (a turn inside
+#: the overlap matches both), an intra-day window, a sub-hour window
+#: (smaller than the bucketing grain), and a zero-match window far
+#: outside the data.
+MAINTENANCE_WINDOWS_ROWS = [
+    ("mw1", _dt.datetime(2023, 12, 30), _dt.datetime(2024, 1, 3), "major"),
+    ("mw2", _dt.datetime(2024, 1, 2, 12), _dt.datetime(2024, 1, 5), "minor"),
+    ("mw3", _dt.datetime(2024, 1, 10, 6), _dt.datetime(2024, 1, 10, 18), "major"),
+    ("mw4", _dt.datetime(2024, 1, 20, 0), _dt.datetime(2024, 1, 20, 0, 30), "minor"),
+    ("mw5", _dt.datetime(2024, 6, 1), _dt.datetime(2024, 6, 2), "major"),
+]
+
+#: the same intervals as SQL literals (Spark SQL ∩ DuckDB).
+MAINTENANCE_WINDOWS_SQL = (
+    "(VALUES "
+    "('mw1', TIMESTAMP '2023-12-30 00:00:00', TIMESTAMP '2024-01-03 00:00:00', 'major'),"
+    "('mw2', TIMESTAMP '2024-01-02 12:00:00', TIMESTAMP '2024-01-05 00:00:00', 'minor'),"
+    "('mw3', TIMESTAMP '2024-01-10 06:00:00', TIMESTAMP '2024-01-10 18:00:00', 'major'),"
+    "('mw4', TIMESTAMP '2024-01-20 00:00:00', TIMESTAMP '2024-01-20 00:30:00', 'minor'),"
+    "('mw5', TIMESTAMP '2024-06-01 00:00:00', TIMESTAMP '2024-06-02 00:00:00', 'major')"
+    ") AS maintenance_windows(window_id, starts, ends, severity)"
+)
+
+
+def maintenance_windows(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame(
+        MAINTENANCE_WINDOWS_ROWS,
+        "window_id string, starts timestamp_ntz, ends timestamp_ntz, severity string",
+    )
+
+
+_GRAIN_STEP = {
+    "minute": "interval 1 minute",
+    "hour": "interval 1 hour",
+    "day": "interval 1 day",
+}
+
+
+def interval_join(
+    df: DataFrame,
+    intervals: DataFrame,
+    ts_col: str = "ts",
+    start_col: str = "starts",
+    end_col: str = "ends",
+    grain: str = "hour",
+) -> DataFrame:
+    """Interval (range-containment) join: each fact row matched to EVERY
+    interval with ``starts <= ts < ends`` (half-open, the log-analytics
+    convention — back-to-back windows never double-count a boundary
+    row). Overlapping intervals each match (inner semantics; a fact in
+    no interval drops; NULL timestamps never match).
+
+    Scale design: a naive range join is a nested-loop/cartesian (the
+    plan Spark picks for a raw ``ON a <= x AND x < b``). Instead each
+    interval explodes into the ``grain`` buckets it covers and the join
+    is an EQUI-join on the bucket — shuffle-partitionable, and the
+    exploded build side stays broadcast-small for dimension-like
+    interval tables (|intervals| × duration/grain rows). The exact
+    half-open containment is a residual filter on the matched pairs.
+    Pick the grain so buckets-per-interval stays bounded (hour-grain
+    maintenance windows, day-grain incident ranges); a sub-grain
+    interval still works — it lands in ≥1 bucket and the residual
+    filter trims the edges.
+    """
+    step = _GRAIN_STEP[grain]
+    b = intervals.withColumn(
+        "_bucket",
+        F.explode(
+            F.sequence(
+                F.date_trunc(grain, F.col(start_col)),
+                F.date_trunc(grain, F.col(end_col)),
+                F.expr(step),
+            )
+        ),
+    )
+    probe = df.withColumn("_bucket", F.date_trunc(grain, F.col(ts_col)))
+    return (
+        probe.join(b, on="_bucket", how="inner")
+        .where((F.col(start_col) <= F.col(ts_col)) & (F.col(ts_col) < F.col(end_col)))
+        .drop("_bucket")
+    )
+
+
 def salt(df: DataFrame, n_buckets: int, cols: tuple[str, ...] = ("conv_id", "turn_idx")) -> DataFrame:
     """Skew salting for hot conversations (SURVEY.md §4 item 1;
     north_rule "bucketed on conv_id with salting for hot

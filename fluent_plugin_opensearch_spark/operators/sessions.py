@@ -221,6 +221,90 @@ def flag_sigma_anomalies(hourly: DataFrame, k: int = 3) -> DataFrame:
     )
 
 
+def cusum_anomalies(df: DataFrame, h: int = 4, slack_pct: int = 5) -> DataFrame:
+    """Page's CUSUM changepoint detection over the hourly rollup — the
+    drift detector that catches SUSTAINED shifts the single-hour k-sigma
+    flag (:func:`hourly_anomalies`) misses: many consecutive hours each
+    only ~1σ high accumulate until the statistic crosses the decision
+    band. Like the k-sigma flag, the boundary is evaluated in EXACT
+    integer arithmetic (decimal38 / DuckDB HUGEINT) so it can never
+    drift between engines or under float reassociation.
+
+    With cnt/s1/s2 the global series count / Σn / Σn² and the classic
+    CUSUM parameters expressed exactly (slack as an integer percent of
+    the mean, scaling every term by 100·cnt to clear the divisions):
+
+        d_i = 100·(cnt·n_i − s1) − slack_pct·s1
+        S_i = max(0, S_{i−1} + d_i)         (upper CUSUM, reset per day)
+        flag hour i  ⇔  S_i > 0  ∧  S_i² > 100²·h²·(cnt·s2 − s1²)
+
+    (the RHS is (100·cnt·h·σ_pop)² since cnt²·σ² = cnt·s2 − s1².)
+
+    Scale design: the fold runs per DAY over ≤24 (hour, n) structs —
+    the daily reset both bounds the recurrence (a sequential scan can't
+    be parallelized inside a day, so keep the unit small) and spreads
+    days across tasks; stats are ONE row riding a broadcast; the scan
+    underneath is the hourly rollup, never raw turns. Magnitudes: at
+    10¹² rows/720 hours, S ≤ 24·100·cnt·max_n ≈ 10¹⁷ so S² ≈ 10³⁴ and
+    the RHS ≈ 10²⁹ — both well inside decimal(38,0)/HUGEINT.
+    """
+    hourly = df.groupBy(
+        F.date_format("ts", "yyyy-MM-dd").alias("day"),
+        F.hour("ts").alias("hour"),
+    ).agg(F.count(F.lit(1)).alias("n_turns"))
+    return flag_cusum_anomalies(hourly, h, slack_pct)
+
+
+def flag_cusum_anomalies(hourly: DataFrame, h: int = 4, slack_pct: int = 5) -> DataFrame:
+    """The shared CUSUM criterion over a (day, hour, n_turns) count
+    frame — split out so a streamed rollup can be flagged at query time
+    with verbatim-identical semantics (the flag_sigma_anomalies
+    pattern)."""
+    dec = "decimal(38,0)"
+    zero = F.lit(0).cast(dec)
+    stats = hourly.agg(
+        F.count(F.lit(1)).cast(dec).alias("_cnt"),
+        F.sum(F.col("n_turns").cast(dec)).alias("_s1"),
+        F.sum(F.col("n_turns").cast(dec) * F.col("n_turns").cast(dec)).alias("_s2"),
+    )
+    per_day = hourly.groupBy("day").agg(
+        F.sort_array(F.collect_list(F.struct("hour", "n_turns"))).alias("_hrs")
+    )
+    j = per_day.crossJoin(F.broadcast(stats))
+
+    def dev(x):
+        return F.lit(100).cast(dec) * (
+            F.col("_cnt") * x["n_turns"].cast(dec) - F.col("_s1")
+        ) - F.lit(slack_pct).cast(dec) * F.col("_s1")
+
+    thresh = F.lit(10_000 * h * h).cast(dec) * (
+        F.col("_cnt") * F.col("_s2") - F.col("_s1") * F.col("_s1")
+    )
+    acc0 = F.struct(
+        zero.alias("s"),
+        F.array().cast("array<struct<hour:int,n:bigint>>").alias("f"),
+    )
+
+    def step(acc, x):
+        s_next = F.greatest(zero, acc["s"] + dev(x))
+        return F.struct(
+            s_next.alias("s"),
+            F.when(
+                (s_next > zero) & (s_next * s_next > thresh),
+                F.array_append(
+                    acc["f"], F.struct(x["hour"].alias("hour"), x["n_turns"].alias("n"))
+                ),
+            )
+            .otherwise(acc["f"])
+            .alias("f"),
+        )
+
+    flagged = F.aggregate("_hrs", acc0, step)["f"]
+    return j.select("day", F.explode(flagged).alias("_x")).select(
+        "day", F.col("_x.hour").alias("hour"), F.col("_x.n").alias("n_turns")
+    )
+
+
 def funnel_stages(
     df: DataFrame,
     steps: tuple[str, ...],

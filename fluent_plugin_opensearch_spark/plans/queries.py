@@ -3041,15 +3041,93 @@ WHERE (n_turns*cnt - s1) > 0
 )
 
 
+def q_interval_window_counts(spark, sf_dir):
+    """Interval (range-containment) join (operators/enrich.py:
+    interval_join): turns matched to every maintenance window covering
+    their event time (half-open [starts, ends)) — a bucketized
+    EQUI-join on the hour grain + residual containment filter, never
+    the nested-loop plan a raw range predicate gets. The fixture plants
+    overlap (mw1∩mw2 — those turns count twice), a window straddling
+    the data start, a sub-grain 30-minute window and a zero-match
+    window. Oracle = DuckDB's native inequality join (IEJoin) over the
+    same VALUES intervals — an independent range-join implementation."""
+    from ..operators.enrich import interval_join, maintenance_windows
+
+    j = interval_join(_t(spark, sf_dir), maintenance_windows(spark), ts_col="ts")
+    return j.groupBy("window_id", "severity").agg(
+        F.count(F.lit(1)).alias("n_turns")
+    )
+
+
+from ..operators.enrich import MAINTENANCE_WINDOWS_SQL as _MWSQL  # noqa: E402
+
+O_INTERVAL_COUNTS = (
+    ORACLE_PREFIX
+    + f"""
+SELECT maintenance_windows.window_id, maintenance_windows.severity,
+       count(*) AS n_turns
+FROM transcripts t JOIN {_MWSQL}
+  ON t.ts >= maintenance_windows.starts AND t.ts < maintenance_windows.ends
+GROUP BY 1, 2"""
+)
+
+
+def q_cusum_anomalies(spark, sf_dir):
+    """Page's CUSUM changepoint detection
+    (operators/sessions.py:cusum_anomalies) — sustained-drift flags the
+    single-hour k-sigma criterion misses, evaluated in exact integer
+    arithmetic (decimal38). Oracle = independent recursive-CTE
+    evaluation of the same recurrence in DuckDB (HUGEINT path):
+    S_i = max(0, S_{i-1} + 100·(cnt·n_i − s1) − 5·s1), reset per day,
+    flag when S_i² > 100²·4²·(cnt·s2 − s1²)."""
+    from ..operators.sessions import cusum_anomalies
+
+    return cusum_anomalies(_t(spark, sf_dir), h=4, slack_pct=5)
+
+
+O_CUSUM_ANOMALIES = (
+    ORACLE_PREFIX.replace("WITH ", "WITH RECURSIVE ", 1)
+    + """
+, hh AS (SELECT strftime(ts, '%Y-%m-%d') AS day,
+                CAST(strftime(ts, '%H') AS INT) AS hour,
+                count(*) AS n
+         FROM transcripts GROUP BY 1, 2),
+hr AS (SELECT day, hour, n,
+              row_number() OVER (PARTITION BY day ORDER BY hour) AS rn
+       FROM hh),
+st AS (SELECT CAST(count(*) AS HUGEINT) AS cnt,
+              CAST(sum(n) AS HUGEINT) AS s1,
+              sum(CAST(n AS HUGEINT)*n) AS s2
+       FROM hh),
+rec AS (
+  SELECT hr.day, hr.rn, hr.hour, hr.n,
+         GREATEST(CAST(0 AS HUGEINT),
+                  100*(st.cnt*hr.n - st.s1) - 5*st.s1) AS s
+  FROM hr CROSS JOIN st WHERE hr.rn = 1
+  UNION ALL
+  SELECT hr.day, hr.rn, hr.hour, hr.n,
+         GREATEST(CAST(0 AS HUGEINT),
+                  rec.s + 100*(st.cnt*hr.n - st.s1) - 5*st.s1)
+  FROM rec JOIN hr ON hr.day = rec.day AND hr.rn = rec.rn + 1
+  CROSS JOIN st
+)
+SELECT day, hour, CAST(n AS BIGINT) AS n_turns
+FROM rec CROSS JOIN st
+WHERE s > 0 AND s*s > 160000*(st.cnt*st.s2 - st.s1*st.s1)"""
+)
+
+
 # ---------------------------------------------------------------------------
 
 # QUERIES dict order matters to the driver: it records
 # CORRECTNESS rows for exactly the FIRST 50 positions (observed r2+r3).
 # Positions 0-49 therefore hold the 50 oracle-checked queries that best
-# span SURVEY §2 + the curation family; positions 50+ hold (a) 15
-# oracle-checked-but-redundant queries already recorded green in r3
-# (each has a retained sibling covering the same operator) and (b) the
-# 10 rows-only variants. Keys and semantics are unchanged across rounds.
+# span SURVEY §2 + the curation family; positions 50+ hold (a)
+# oracle-checked-but-redundant queries already recorded green in an
+# earlier driver window or at the replicated local gate (each has a
+# retained sibling covering the same operator — note per line) and
+# (b) the 10 rows-only variants. Keys and semantics are unchanged
+# across rounds.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "route_logstash_counts": q_route_logstash_counts,
     "dup_spans_md5": q_dup_spans_md5,
@@ -3062,14 +3140,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "error_taxonomy": q_error_taxonomy,
     "affinity_routing": q_affinity_routing,
     "semdedup_corpus": q_semdedup_corpus,
-    "bm25_topk": q_bm25_topk,
     "retry_union": q_retry_union,
     "log_templates": q_log_templates,
     "chunk_dedup": q_chunk_dedup,
     "props_json": q_props_json,
     "ivf_kmeans_topk": q_ivf_kmeans_topk,
     "text_stats": q_text_stats,
-    "lang_pred": q_lang_pred,
     "session_stats": q_session_stats,
     "placeholder_routing": q_placeholder_routing,
     "alias_rollover": q_alias_rollover,
@@ -3103,6 +3179,14 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "funnel_roles": q_funnel_roles,
     "cohort_retention": q_cohort_retention,
     "hourly_anomalies": q_hourly_anomalies,
+    # r5 additions (session 3) — interval join (bucketized equi-join
+    # vs DuckDB native IEJoin) + CUSUM changepoint (recursive-CTE
+    # oracle). Displaced lang_pred and bm25_topk to tail: both r4-green
+    # driver rows, and their multilingual window siblings call the
+    # IDENTICAL operator functions (lang_id_ngram / bm25_topk) over a
+    # corpus that additionally covers non-Latin scripts.
+    "interval_window_counts": q_interval_window_counts,
+    "cusum_anomalies": q_cusum_anomalies,
     # r4 additions — new operator families, promoted into the driver's
     # 50-row window (each displaced entry below has a recorded-green r3
     # row AND a retained sibling covering the same operator)
@@ -3117,6 +3201,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- tail (positions 50+): oracle-checked-but-redundant queries
     # recorded green in CORRECTNESS_r03 (retained sibling noted per
     # line), then the rows-only variants ---
+    "lang_pred": q_lang_pred,  # r3+r4-green; multilingual_lang_pred
+    # (window) runs the same lang_id_ngram over a corpus that also
+    # covers CJK/Cyrillic scripts
+    "bm25_topk": q_bm25_topk,  # r4-green; multilingual_bm25 (window)
+    # runs the same bm25_topk chain with a no-whitespace CJK query
     "quota_sample": q_quota_sample,  # r3+r4-green; stratified_sample
     # anchors the deterministic-sampling family in the window
     "ngram_jaccard": q_ngram_jaccard,  # r3+r4-green; minhash_md5_pairs
@@ -3204,6 +3293,8 @@ ORACLES: dict[str, str] = {
     "funnel_roles": O_FUNNEL_ROLES,
     "cohort_retention": O_COHORT_RETENTION,
     "hourly_anomalies": O_HOURLY_ANOMALIES,
+    "interval_window_counts": O_INTERVAL_COUNTS,
+    "cusum_anomalies": O_CUSUM_ANOMALIES,
     "route_logstash_counts": O_ROUTE_LOGSTASH,
     "route_target_index_override": O_ROUTE_OVERRIDE,
     "timestamp_iso": O_TIMESTAMP_ISO,
