@@ -86,6 +86,8 @@ BENCH_QUERIES = [
     "hourly_anomalies",
     "interval_window_counts",
     "cusum_anomalies",
+    "length_percentiles",
+    "slo_burn",
 ]
 
 CFG = PipelineConfig(logstash_format=True, logstash_prefix="logs")

@@ -221,6 +221,126 @@ def flag_sigma_anomalies(hourly: DataFrame, k: int = 3) -> DataFrame:
     )
 
 
+def length_percentiles(
+    df: DataFrame, pcts: tuple[int, ...] = (50, 95, 99)
+) -> DataFrame:
+    """Exact nearest-rank percentiles of turn text length per UTC day —
+    the p50/p95/p99 size-distribution panel a log pipeline serves next
+    to its rollups (the reference leaves distribution analysis to the
+    OpenSearch side, e.g. percentile aggregations over indexed docs;
+    here it is a first-class batch operator). Output: (day string,
+    pct int, len_pct int), one row per (day, pct).
+
+    Nearest-rank is the integer-exact definition: the p-th percentile
+    is the value at ascending rank ceil(p·n/100), computed as
+    (p·n + 99) div 100 — no float quantile interpolation, so the
+    result can never drift between engines.
+
+    Scale design: the window never sees raw rows. Lengths first
+    collapse to a (day, len) → count rollup (bounded by |days ×
+    distinct lengths|, thousands per day, never turns); the cumulative
+    rank walk and per-day totals are windows over THAT rollup, and the
+    pct fan-out multiplies only rollup rows. One groupBy shuffle + one
+    day-partitioned window; a 10¹²-row day costs the same window input
+    as a 10⁶-row day.
+    """
+    lens = (
+        df.where(F.col("text").isNotNull())
+        .groupBy(
+            F.date_format("ts", "yyyy-MM-dd").alias("day"),
+            F.length("text").alias("len"),
+        )
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    ranked = lens.select(
+        "day",
+        "len",
+        "c",
+        F.sum("c")
+        .over(
+            Window.partitionBy("day")
+            .orderBy("len")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        .alias("cum"),
+        F.sum("c").over(Window.partitionBy("day")).alias("n"),
+    )
+    fanned = ranked.select(
+        "day",
+        "len",
+        "c",
+        "cum",
+        "n",
+        F.explode(F.array(*[F.lit(int(p)) for p in pcts])).alias("pct"),
+    )
+    target = F.expr("(pct * n + 99) div 100")
+    return fanned.where(
+        (F.col("cum") >= target) & (F.col("cum") - F.col("c") < target)
+    ).select("day", "pct", F.col("len").cast("int").alias("len_pct"))
+
+
+def slo_burn_alerts(
+    df: DataFrame,
+    budget_ppm: int = 20_000,
+    factor: int = 6,
+    long_hours: int = 6,
+) -> DataFrame:
+    """Multiwindow error-budget burn-rate alerts (the SRE-workbook
+    alerting rule) over the parsed stream: an hour fires when the
+    ERROR-level fraction exceeds factor × budget in BOTH the hour
+    itself (short window) and the trailing ``long_hours`` wall-clock
+    window — fast-burn detection without the single-spike flappiness
+    of a one-window rule. The reference delegates alerting to the
+    OpenSearch side; here it is a first-class batch operator over the
+    same parsed stream the pipeline routes.
+
+    All comparisons are exact integers (decimal38 with a HUGEINT
+    oracle twin): a window fires when  n_err·10⁶ > factor·budget_ppm·n.
+
+    Scale design: raw rows collapse to an hourly (n, n_err) rollup
+    first; the trailing window is a RANGE frame over the integer hour
+    index of THAT rollup, so the single ordered partition holds
+    |hours| rows — bounded by the time horizon, never data size — and
+    traffic gaps are handled by the frame seeing wall-clock hours, not
+    adjacent rows. Output: (day, hour, n_turns, n_err), flagged hours.
+    """
+    from .parse import parse_text
+
+    p = parse_text(df).filter("parse_ok")
+    hourly = p.groupBy(
+        F.date_format("ts", "yyyy-MM-dd").alias("day"),
+        F.hour("ts").alias("hour"),
+        (
+            F.datediff(F.to_date("ts"), F.to_date(F.lit("1970-01-01"))) * 24
+            + F.hour("ts")
+        ).alias("hour_idx"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_turns"),
+        F.sum(F.when(F.col("level") == "ERROR", 1).otherwise(0)).alias("n_err"),
+    )
+    w = Window.orderBy("hour_idx").rangeBetween(
+        -(long_hours - 1), Window.currentRow
+    )
+    n_dec = F.col("n_turns").cast("decimal(38,0)")
+    e_dec = F.col("n_err").cast("decimal(38,0)")
+    thr = F.lit(factor * budget_ppm)
+    return (
+        hourly.select(
+            "day",
+            "hour",
+            "n_turns",
+            "n_err",
+            F.sum(n_dec).over(w).alias("_n_l"),
+            F.sum(e_dec).over(w).alias("_e_l"),
+        )
+        .where(
+            (e_dec * 1_000_000 > thr * n_dec)
+            & (F.col("_e_l") * 1_000_000 > thr * F.col("_n_l"))
+        )
+        .select("day", "hour", "n_turns", "n_err")
+    )
+
+
 def cusum_anomalies(df: DataFrame, h: int = 4, slack_pct: int = 5) -> DataFrame:
     """Page's CUSUM changepoint detection over the hourly rollup — the
     drift detector that catches SUSTAINED shifts the single-hour k-sigma

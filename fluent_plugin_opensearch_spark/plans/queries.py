@@ -3117,6 +3117,81 @@ WHERE s > 0 AND s*s > 160000*(st.cnt*st.s2 - st.s1*st.s1)"""
 )
 
 
+def q_length_percentiles(spark, sf_dir):
+    """Exact nearest-rank p50/p95/p99 of turn text length per UTC day
+    (operators/sessions.py:length_percentiles) — the size-distribution
+    panel, computed as integer order statistics over a (day, len)
+    rollup so no float quantile interpolation can drift between
+    engines. Oracle = the same nearest-rank walk re-derived with DuckDB
+    windows over an independently-built rollup."""
+    from ..operators.sessions import length_percentiles
+
+    return length_percentiles(_t(spark, sf_dir))
+
+
+O_LENGTH_PERCENTILES = (
+    ORACLE_PREFIX
+    + """
+, lens AS (SELECT strftime(ts, '%Y-%m-%d') AS day, length(text) AS len
+           FROM transcripts WHERE text IS NOT NULL),
+cnt AS (SELECT day, len, count(*) AS c FROM lens GROUP BY 1, 2),
+rk AS (SELECT day, len, c,
+              CAST(sum(c) OVER (PARTITION BY day ORDER BY len) AS BIGINT) AS cum,
+              CAST(sum(c) OVER (PARTITION BY day) AS BIGINT) AS n
+       FROM cnt),
+fan AS (SELECT rk.*, pct
+        FROM rk CROSS JOIN (SELECT unnest([50, 95, 99]) AS pct))
+SELECT day, CAST(pct AS INT) AS pct, CAST(len AS INT) AS len_pct
+FROM fan
+WHERE cum >= (pct * n + 99) // 100
+  AND cum - c < (pct * n + 99) // 100"""
+)
+
+
+def q_slo_burn(spark, sf_dir):
+    """Multiwindow SLO error-budget burn alerts
+    (operators/sessions.py:slo_burn_alerts) — an hour fires when the
+    ERROR-level fraction exceeds factor×budget in BOTH the hour and
+    the trailing 6-hour wall-clock window, in exact integer arithmetic
+    (n_err·10⁶ > factor·budget_ppm·n). The sf corpus derives ERROR
+    from event_type='error' (≈20.1% of events, uniform across the 5
+    types), so budget 50000 ppm × factor 4 = 20.0% lands the boundary
+    INSIDE the per-hour fluctuation band — some hours fire, some
+    don't, on both windows. Oracle = the same rollup + RANGE-frame
+    walk re-derived in DuckDB (HUGEINT path)."""
+    from ..operators.sessions import slo_burn_alerts
+
+    return slo_burn_alerts(
+        _t(spark, sf_dir), budget_ppm=50_000, factor=4, long_hours=6
+    )
+
+
+O_SLO_BURN = (
+    ORACLE_PREFIX
+    + f"""
+, pp AS (SELECT strftime(ts, '%Y-%m-%d') AS day,
+                CAST(strftime(ts, '%H') AS INT) AS hour,
+                date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) * 24
+                  + CAST(strftime(ts, '%H') AS INT) AS hour_idx,
+                CASE WHEN regexp_extract(text, {SQL_GROK}, 1) = 'ERROR'
+                     THEN 1 ELSE 0 END AS is_err
+         FROM transcripts WHERE {SQL_PARSED}),
+hh AS (SELECT day, hour, hour_idx, count(*) AS n_turns,
+              CAST(sum(is_err) AS HUGEINT) AS n_err
+       FROM pp GROUP BY 1, 2, 3),
+ll AS (SELECT day, hour, n_turns, n_err,
+              sum(CAST(n_turns AS HUGEINT)) OVER wl AS n_l,
+              sum(n_err) OVER wl AS e_l
+       FROM hh WINDOW wl AS (ORDER BY hour_idx
+                             RANGE BETWEEN 5 PRECEDING AND CURRENT ROW))
+SELECT day, hour, CAST(n_turns AS BIGINT) AS n_turns,
+       CAST(n_err AS BIGINT) AS n_err
+FROM ll
+WHERE n_err * 1000000 > 200000 * n_turns
+  AND e_l * 1000000 > 200000 * n_l"""
+)
+
+
 # ---------------------------------------------------------------------------
 
 # QUERIES dict order matters to the driver: it records
@@ -3175,7 +3250,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # displaced entry has a recorded-green driver row AND a retained
     # window sibling (notes at its new tail position).
     "asof_policy_counts": q_asof_policy_counts,
-    "asof_policy_window": q_asof_policy_window,
     "funnel_roles": q_funnel_roles,
     "cohort_retention": q_cohort_retention,
     "hourly_anomalies": q_hourly_anomalies,
@@ -3187,6 +3261,13 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # corpus that additionally covers non-Latin scripts.
     "interval_window_counts": q_interval_window_counts,
     "cusum_anomalies": q_cusum_anomalies,
+    # r5 addition (session 4) — exact nearest-rank length percentiles
+    # (integer order statistics over a (day, len) rollup; a NEW family,
+    # order statistics, previously ungraded). Displaced
+    # asof_policy_window to tail: asof_policy_counts grades the SAME
+    # asof_join operator via its broadcast path, and the window path is
+    # equivalence-tested against it in tests/test_asof_funnel.py.
+    "length_percentiles": q_length_percentiles,
     # r4 additions — new operator families, promoted into the driver's
     # 50-row window (each displaced entry below has a recorded-green r3
     # row AND a retained sibling covering the same operator)
@@ -3196,11 +3277,30 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_incremental_md5": q_dedup_incremental_md5,
     "mixture_sample": q_mixture_sample,
     "pack_manifest": q_pack_manifest,
-    "winnow_pairs_md5": q_winnow_pairs_md5,
+    # r5 addition (session 5) — multiwindow SLO error-budget burn
+    # alerts (the SRE-workbook two-window rule; a NEW alerting family:
+    # hourly_anomalies grades k-sigma, cusum_anomalies changepoint,
+    # this one budget-burn over a trailing wall-clock RANGE frame).
+    # Displaced winnow_pairs_md5 to tail: recorded-green r4 driver row,
+    # and the near-dup posting-pair+guard pattern it exercises keeps
+    # FOUR window siblings (minhash_md5_pairs, simhash_neardup_md5,
+    # embedding_neardup_lsh_md5, multilingual_dedup_pairs).
+    "slo_burn": q_slo_burn,
     "doc_chunks": q_doc_chunks,
     # --- tail (positions 50+): oracle-checked-but-redundant queries
     # recorded green in CORRECTNESS_r03 (retained sibling noted per
     # line), then the rows-only variants ---
+    "winnow_pairs_md5": q_winnow_pairs_md5,  # r4-green driver row
+    # (MOSS winnowing full chain); the posting-list-pairs + window-
+    # count-guard shape keeps four near-dup window siblings (see note
+    # above) and winnow_md5 below full-chain-checks the same operator;
+    # this oracle stays active at the local gate
+    "asof_policy_window": q_asof_policy_window,  # r5 session-3 entry,
+    # displaced same-round by length_percentiles before any driver
+    # grading; asof_policy_counts (window) grades the same asof_join
+    # via the broadcast path, the two paths are equivalence-tested in
+    # tests/test_asof_funnel.py, and this oracle stays active at the
+    # local gate
     "lang_pred": q_lang_pred,  # r3+r4-green; multilingual_lang_pred
     # (window) runs the same lang_id_ngram over a corpus that also
     # covers CJK/Cyrillic scripts
@@ -3295,6 +3395,8 @@ ORACLES: dict[str, str] = {
     "hourly_anomalies": O_HOURLY_ANOMALIES,
     "interval_window_counts": O_INTERVAL_COUNTS,
     "cusum_anomalies": O_CUSUM_ANOMALIES,
+    "length_percentiles": O_LENGTH_PERCENTILES,
+    "slo_burn": O_SLO_BURN,
     "route_logstash_counts": O_ROUTE_LOGSTASH,
     "route_target_index_override": O_ROUTE_OVERRIDE,
     "timestamp_iso": O_TIMESTAMP_ISO,

@@ -178,7 +178,13 @@ def main() -> None:
     # each kept run's own capacity probe (sha256 under ITS cpuset) and
     # start loadavg ride along so a steal-confounded row is visibly
     # confounded — the committed r3-boundary 150M run (eff 0.397) was
-    # only diagnosable after the fact because the table had no probes
+    # only diagnosable after the fact because the table had no probes.
+    # INTERPRETING the probe column: bench.py's probe is 8 PROCESSES
+    # fixed, so a run pinned to C cores reads ≈ hw[min(8, C)] when
+    # clean (a 4-core cpuset oversubscribes 8 procs onto 4 cores ≈
+    # hw[4]; a 16-core cpuset runs them on 8 of 16 cores ≈ hw[8] —
+    # NEVER compare a 16-core run's probe to hw[16]; that misread
+    # falsely confounded the r5 attempt-4 4N rows).
     lines = "\n".join(
         f"| {label} | {r['value']:,.0f} | {r['pipeline_sec']} | "
         f"{(r.get('probe') or {}).get('sha256_mhs', '—')} | "
@@ -225,7 +231,7 @@ transcripts parquet; fresh JVM per run; ParallelGC; JIT warmed (2
 untimed passes), best of 3 steady-state passes;
 `spark.sql.shuffle.partitions` = 2×cores; all other config identical:
 
-| run | throughput (turns/sec) | pipeline wall (s) | run's sha256 probe (M h/s, under its cpuset) | loadavg at start |
+| run | throughput (turns/sec) | pipeline wall (s) | run's sha256 probe (M h/s, 8 procs under its cpuset — clean line ≈ hw[min(8, cores)]) | loadavg at start |
 |---|---|---|---|---|
 {lines}
 
