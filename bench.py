@@ -88,6 +88,7 @@ BENCH_QUERIES = [
     "cusum_anomalies",
     "length_percentiles",
     "slo_burn",
+    "hll_convs_md5",
 ]
 
 CFG = PipelineConfig(logstash_format=True, logstash_prefix="logs")

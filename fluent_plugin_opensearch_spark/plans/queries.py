@@ -1850,6 +1850,111 @@ def q_approx_sink_profile(spark, sf_dir):
     return approx_sink_profile(good)
 
 
+def q_hll_convs_md5(spark, sf_dir):
+    """Portable HyperLogLog distinct-conversations-per-day
+    (plans/metrics.py:hll_distinct, md5 hasher) — the approx-distinct
+    sketch with its WHOLE chain replayable: 60-bit md5 hash → 4096
+    sparse max-registers (ONE map-side-combinable groupBy whose
+    shuffle is O(days×4096) rows at any input cardinality) →
+    exact-BIGINT 2^-rho accumulation → one double division (+
+    small-range linear counting). Oracle recomputes every stage in
+    DuckDB; outputs are integers only. The xxhash production hasher
+    (`hll_xxhash`) shares every line but the hash, and register
+    tables max-merge across batches (tests/test_hll.py)."""
+    from .metrics import hll_distinct
+
+    t = _t(spark, sf_dir).withColumn("day", F.date_format("ts", "yyyy-MM-dd"))
+    r = hll_distinct(t, "conv_id", ["day"])
+    return r.select(
+        "day",
+        F.col("n_rows").alias("n_turns"),
+        "used_registers",
+        F.col("est_distinct").alias("est_convs"),
+    )
+
+
+def _o_hll_convs() -> str:
+    from .metrics import HLL_EST_NUM
+
+    return (
+        ORACLE_PREFIX
+        + f"""
+, hh AS (SELECT strftime(ts, '%Y-%m-%d') AS day,
+                ('0x' || substr(md5(conv_id), 1, 15))::BIGINT AS hv
+         FROM transcripts),
+reg AS (SELECT day, CAST(hv % 4096 AS INT) AS idx,
+               max(CASE WHEN hv // 4096 = 0 THEN 49
+                        ELSE 49 - length(bin(hv // 4096)) END) AS rho,
+               count(*) AS cnt
+        FROM hh GROUP BY 1, 2),
+fin AS (SELECT day,
+               CAST(sum(1::BIGINT << (50 - rho)) AS BIGINT)
+                 + (4096 - count(*)) * (1::BIGINT << 50) AS z_scaled,
+               CAST(count(*) AS BIGINT) AS used,
+               CAST(sum(cnt) AS BIGINT) AS n_turns
+        FROM reg GROUP BY 1),
+er AS (SELECT day, n_turns, used,
+              {HLL_EST_NUM!r} / z_scaled AS e_raw
+       FROM fin)
+SELECT day, n_turns, CAST(used AS INT) AS used_registers,
+       CAST(round(CASE WHEN e_raw <= 10240.0 AND used < 4096
+                       THEN 4096.0 * ln(4096.0 / (4096 - used))
+                       ELSE e_raw END) AS BIGINT) AS est_convs
+FROM er"""
+    )
+
+
+def q_cms_conv_counts_md5(spark, sf_dir):
+    """Portable count-min sketch point queries
+    (plans/metrics.py:cms_table/cms_estimate) — d=4 md5 hash rows,
+    w=1024 buckets: explode(4) → ONE map-side-combinable groupBy onto
+    ≤ 4096 cells at any key cardinality, probes broadcast-joined
+    against the cell table. Probe set = the 8 deterministically-least
+    md5(conv_id) conversations; output pairs the CMS upper-bound
+    estimate with the exact count. Oracle replays build + probe + min
+    in DuckDB. Spark's builtin `count_min_sketch` (used by
+    `heavy_hitter_sketch`) stays the JVM production variant — this is
+    its engine-portable, oracle-checkable twin (the hll_convs_md5
+    pattern for counts)."""
+    from .metrics import cms_estimate, cms_table
+
+    t = _t(spark, sf_dir)
+    table = cms_table(t, "conv_id")
+    probes = t.select("conv_id").distinct().orderBy(F.md5("conv_id")).limit(8)
+    est = cms_estimate(table, probes, key_col="conv_id")
+    tru = t.groupBy("conv_id").agg(F.count(F.lit(1)).alias("n_turns"))
+    return est.join(tru, "conv_id").select("conv_id", "n_turns", "est_count")
+
+
+O_CMS_CONV_COUNTS = (
+    ORACLE_PREFIX
+    + """
+, cells AS (
+  SELECT CAST(r.row AS INT) AS row,
+         CAST(('0x' || substr(md5(t.conv_id || '#' || CAST(r.row AS STRING)), 1, 15))::BIGINT
+              % 1024 AS INT) AS bucket,
+         count(*) AS cnt
+  FROM transcripts t, range(0, 4) r(row)
+  GROUP BY 1, 2),
+probes AS (
+  SELECT conv_id FROM (SELECT DISTINCT conv_id FROM transcripts)
+  ORDER BY md5(conv_id) LIMIT 8),
+pk AS (
+  SELECT p.conv_id, CAST(r.row AS INT) AS row,
+         CAST(('0x' || substr(md5(p.conv_id || '#' || CAST(r.row AS STRING)), 1, 15))::BIGINT
+              % 1024 AS INT) AS bucket
+  FROM probes p, range(0, 4) r(row)),
+est AS (
+  SELECT pk.conv_id, min(coalesce(c.cnt, 0)) AS est_count
+  FROM pk LEFT JOIN cells c ON pk.row = c.row AND pk.bucket = c.bucket
+  GROUP BY 1),
+tru AS (SELECT conv_id, count(*) AS n_turns FROM transcripts GROUP BY 1)
+SELECT e.conv_id, CAST(t.n_turns AS BIGINT) AS n_turns,
+       CAST(e.est_count AS BIGINT) AS est_count
+FROM est e JOIN tru t USING (conv_id)"""
+)
+
+
 def q_multimodal_features(spark, sf_dir):
     """Multimodal mapInPandas plumbing, oracle-checked end to end: the
     typed metadata (pure modular arithmetic of the id) AND the decoded
@@ -3286,10 +3391,24 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # FOUR window siblings (minhash_md5_pairs, simhash_neardup_md5,
     # embedding_neardup_lsh_md5, multilingual_dedup_pairs).
     "slo_burn": q_slo_burn,
-    "doc_chunks": q_doc_chunks,
+    # r5 addition (session 6) — portable HyperLogLog approx-distinct
+    # (a NEW family: the only sketch estimator with a full-chain
+    # oracle — hash → sparse registers → exact-BIGINT Z → estimate all
+    # replayed in DuckDB; approx_sink_profile stays the rows-only
+    # JVM-sketch sibling). Displaced doc_chunks to tail: r3+r4-green
+    # driver rows, and pack_manifest (window) grades the same per-doc
+    # span-generation projection shape.
+    "hll_convs_md5": q_hll_convs_md5,
     # --- tail (positions 50+): oracle-checked-but-redundant queries
     # recorded green in CORRECTNESS_r03 (retained sibling noted per
     # line), then the rows-only variants ---
+    "doc_chunks": q_doc_chunks,  # r3+r4-green; pack_manifest (window)
+    # grades the per-doc span-generation shape; oracle stays active at
+    # the local gate
+    "cms_conv_counts_md5": q_cms_conv_counts_md5,  # r5 session-6
+    # addition straight to tail: hll_convs_md5 (window) anchors the
+    # portable-sketch family; this full-chain CMS oracle runs at the
+    # local gate
     "winnow_pairs_md5": q_winnow_pairs_md5,  # r4-green driver row
     # (MOSS winnowing full chain); the posting-list-pairs + window-
     # count-guard shape keeps four near-dup window siblings (see note
@@ -3397,6 +3516,8 @@ ORACLES: dict[str, str] = {
     "cusum_anomalies": O_CUSUM_ANOMALIES,
     "length_percentiles": O_LENGTH_PERCENTILES,
     "slo_burn": O_SLO_BURN,
+    "hll_convs_md5": _o_hll_convs(),
+    "cms_conv_counts_md5": O_CMS_CONV_COUNTS,
     "route_logstash_counts": O_ROUTE_LOGSTASH,
     "route_target_index_override": O_ROUTE_OVERRIDE,
     "timestamp_iso": O_TIMESTAMP_ISO,

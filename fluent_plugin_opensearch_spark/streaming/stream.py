@@ -646,6 +646,74 @@ def windowed_sink_counts(
     )
 
 
+def hll_registers_stream(
+    spark: SparkSession,
+    source: DataFrame,
+    catalog: SinkCatalog,
+    checkpoint_dir: str,
+    key_col: str = "conv_id",
+    watermark: str = "45 days",
+    available_now: bool = True,
+    processing_time: str = "60 seconds",
+    table: str = "hll_registers",
+    hasher=None,
+):
+    """Streamed portable-HLL register maintenance — approximate
+    distinct `key_col` per day over an unbounded stream with state
+    bounded at (live days × 4096 registers) regardless of input
+    cardinality. The update-mode aggregation keeps CUMULATIVE
+    max(rho)/count per (day, idx), so each upsert re-delivers the full
+    current register row — idempotent under micro-batch replay exactly
+    like ``hourly_totals_stream`` (no marker needed). The estimate is
+    query-time (``hll_estimate_from_catalog``) because it needs the
+    whole register set; the register table partitions by day so each
+    micro-batch rewrites only touched days. Shares the (idx, rho)
+    expressions with the batch builder (``metrics.hll_idx_rho``) —
+    the twins cannot drift."""
+    from ..plans.metrics import _hll_md5_hash, hll_idx_rho
+    from ..sinks.writer import merge_write
+
+    idx, rho = hll_idx_rho()
+    regs = (
+        source.withColumn("ts", F.col("ts").cast("timestamp"))
+        .withWatermark("ts", watermark)
+        .withColumn("_hll_h", (hasher or _hll_md5_hash)(F.col(key_col)))
+        .groupBy(F.window("ts", "1 day").alias("w"), idx)
+        .agg(F.max(rho).cast("int").alias("rho"), F.count(F.lit(1)).alias("cnt"))
+        .select(F.date_format(F.col("w.start"), "yyyy-MM-dd").alias("day"), "idx", "rho", "cnt")
+    )
+    cfg = PipelineConfig(write_operation="upsert")
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        batch = batch_df.withColumn(
+            "_index", F.concat(F.lit("hllr-"), F.col("day"))
+        ).withColumn("_id", F.concat_ws(":", "day", "idx"))
+        merge_write(spark, batch, catalog, cfg, table=table)
+
+    writer = (
+        regs.writeStream.outputMode("update")
+        .foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime=processing_time)
+    return writer.start()
+
+
+def hll_estimate_from_catalog(
+    spark: SparkSession, catalog: SinkCatalog, table: str = "hll_registers"
+) -> DataFrame:
+    """Finalize the streamed register table into per-day estimates —
+    the same ``hll_estimate`` the batch path uses, over at most
+    (days × 4096) catalog rows."""
+    from ..plans.metrics import hll_estimate
+
+    regs = catalog.read(spark, table).select("day", "idx", "rho", "cnt")
+    return hll_estimate(regs, ["day"])
+
+
 def ingest_dedup_stream(
     spark: SparkSession,
     source: DataFrame,
