@@ -670,6 +670,69 @@ def merge_write(
             df.unpersist()
 
 
+def delete_ids(
+    spark: SparkSession,
+    ids,
+    catalog: SinkCatalog,
+    table: str = "sink",
+) -> dict[str, int]:
+    """Bulk ``delete`` action — the one bulk-protocol op outside the
+    reference's ``write_operation`` set (the OpenSearch bulk API's
+    ``{"delete": {"_id": ...}}``; fluent-plugin-opensearch never emits
+    it, so it is NOT reachable via ``cfg.write_operation`` — this is
+    the explicit ops/right-to-be-forgotten path at the sink).
+
+    Same scale + crash-safety discipline as ``merge_write``: one
+    semi-join scan finds the partitions holding a matched ``_id``;
+    ONLY those are rewritten (anti-join) into a staged version dir and
+    committed via the atomic manifest flip — a batch costs O(touched
+    partitions), untouched partitions keep their version dirs, and a
+    partition losing its last row is removed in the same flip. ``ids``
+    is a one-column DataFrame (``_id``) or a Python list of id values.
+
+    Returns {"requested": #distinct ids, "deleted": #rows removed} —
+    an id matching several rows (e.g. ``id_key=conv_id``) deletes them
+    all; ids absent from the table are counted in neither error nor
+    delete (bulk delete ``not_found`` semantics: idempotent, not an
+    error).
+    """
+    if not isinstance(ids, DataFrame):
+        ids = spark.createDataFrame([(str(i),) for i in ids], f"{ID_KEY} string")
+    ids = ids.select(F.col(ids.columns[0]).alias(ID_KEY)).distinct().persist()
+    try:
+        n_req = ids.count()
+        if not catalog.exists(table):
+            return {"requested": n_req, "deleted": 0}
+        existing = catalog.read(spark, table)
+        touched = sorted(
+            r[0]
+            for r in existing.join(ids, on=ID_KEY, how="left_semi")
+            .select(INDEX_KEY)
+            .distinct()
+            .collect()
+        )
+        if not touched:
+            return {"requested": n_req, "deleted": 0}
+        existing_t = existing.filter(F.col(INDEX_KEY).isin(touched))
+        n_hit = existing_t.join(ids, on=ID_KEY, how="left_semi").count()
+        merged = existing_t.join(ids, on=ID_KEY, how="left_anti")
+
+        version, vdir = catalog.stage(table)
+        merged.write.mode("overwrite").partitionBy(INDEX_KEY).parquet(vdir)
+        staged = set(_staged_partitions(vdir))
+        catalog.commit(
+            table,
+            version,
+            sorted(staged),
+            replace=True,
+            removed=tuple(sorted(set(touched) - staged)),
+        )
+        catalog.vacuum(table)
+        return {"requested": n_req, "deleted": n_hit}
+    finally:
+        ids.unpersist()
+
+
 def write_metrics(
     catalog: SinkCatalog, run_id: str, metrics_rows: list[dict], table: str = "metrics"
 ) -> None:

@@ -4,7 +4,8 @@ rewrite_data_files + expire_snapshots pair, on the sandbox catalog):
 
     spark-submit --py-files dist/fposs.zip jobs/maintain_sinks.py \\
         --warehouse <sink catalog dir> [--tables sink,hh_rollup] \\
-        [--max-versions 1] [--keep-snapshots 1 | 0=drop history] [--dry-run]
+        [--max-versions 1] [--keep-snapshots 1 | 0=drop history] \\
+        [--delete-ids a1,b2 | --delete-ids @ids.txt] [--dry-run]
 
 Per table: collapse partitions fragmented across more than
 ``--max-versions`` version dirs into one fresh version (atomic
@@ -40,12 +41,30 @@ def main(argv: list[str]) -> None:
                         "skipped entirely). Dropping history is explicit: pass "
                         "a number (0 = drop all). The current state is always "
                         "readable regardless.")
+    p.add_argument("--delete-ids", default=None,
+                   help="comma-separated _id values OR @/path/to/file "
+                        "(one id per line) to bulk-delete from each "
+                        "selected table BEFORE compaction — the "
+                        "right-to-be-forgotten pass (partition-scoped "
+                        "rewrite, absent ids are not_found-idempotent). "
+                        "Requires an explicit --tables list.")
     p.add_argument("--dry-run", action="store_true")
     args = p.parse_args(argv)
 
     from pyspark.sql import SparkSession
 
     from fluent_plugin_opensearch_spark.sinks.writer import SinkCatalog
+
+    if args.delete_ids and not args.tables:
+        p.error("--delete-ids requires an explicit --tables list "
+                "(a blanket delete across every table must be spelled out)")
+    del_ids: list[str] = []
+    if args.delete_ids:
+        if args.delete_ids.startswith("@"):
+            with open(args.delete_ids[1:]) as f:
+                del_ids = [ln.strip() for ln in f if ln.strip()]
+        else:
+            del_ids = [i.strip() for i in args.delete_ids.split(",") if i.strip()]
 
     cat = SinkCatalog(args.warehouse)
     if args.tables:
@@ -77,8 +96,16 @@ def main(argv: list[str]) -> None:
                 0 if args.keep_snapshots is None
                 else max(0, pre_snapshots - args.keep_snapshots)
             )
+            if del_ids:
+                entry["would_delete_ids"] = len(del_ids)
             report[table] = entry
             continue
+        if del_ids:
+            from fluent_plugin_opensearch_spark.sinks.writer import delete_ids
+
+            if spark is None:
+                spark = SparkSession.builder.appName("maintain-sinks").getOrCreate()
+            entry["delete"] = delete_ids(spark, del_ids, cat, table)
         if frag:
             if spark is None:
                 spark = SparkSession.builder.appName("maintain-sinks").getOrCreate()

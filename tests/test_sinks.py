@@ -520,3 +520,88 @@ def test_maintain_sinks_job(spark, tmp_path, capsys):
     live = {v for vs in m["partitions"].values() for v in vs}
     on_disk = {d for d in os.listdir(cat.path("sink")) if d.startswith("v_")}
     assert on_disk == live  # vacuum collapsed history
+
+
+def test_delete_ids_partition_scoped(spark, tmp_path):
+    """Bulk delete action: matched ids removed, absent ids are
+    not_found-idempotent, only hit partitions rewritten, a partition
+    losing its last row leaves the snapshot in the same flip."""
+    import os
+
+    from fluent_plugin_opensearch_spark.sinks.writer import delete_ids
+
+    cat = SinkCatalog(str(tmp_path))
+    cfg = PipelineConfig(write_operation="index", id_key="_id")
+    merge_write(
+        spark,
+        _df(
+            spark,
+            [("a", "i1", 1), ("b", "i1", 2), ("c", "i2", 3), ("d", "i3", 4)],
+        ),
+        cat,
+        cfg,
+    )
+    before = cat.manifest("sink")
+    untouched_dir = next(
+        os.path.join(r, d)
+        for r, ds, _ in os.walk(str(tmp_path))
+        for d in ds
+        if d == "_index=i3"
+    )
+    mtime = os.path.getmtime(untouched_dir)
+
+    # list-of-ids form; 'zz' is absent (not_found → neither error nor count)
+    s = delete_ids(spark, ["a", "c", "zz"], cat, "sink")
+    assert s == {"requested": 3, "deleted": 2}
+    rows = {r["_id"]: (r["_index"], r["v"]) for r in cat.read(spark, "sink").collect()}
+    assert rows == {"b": ("i1", 2), "d": ("i3", 4)}
+    # i2 lost its only row → partition gone from the manifest; i3 was
+    # never touched → same version dir, untouched on disk
+    after = cat.manifest("sink")
+    assert "i2" not in after["partitions"] and "i3" in after["partitions"]
+    assert after["partitions"]["i3"] == before["partitions"]["i3"]
+    assert os.path.getmtime(untouched_dir) == mtime
+
+    # DataFrame form + full idempotence: re-deleting the same set is a no-op
+    s2 = delete_ids(spark, spark.createDataFrame([("a",), ("c",)], "_id string"), cat, "sink")
+    assert s2 == {"requested": 2, "deleted": 0}
+    # empty table / missing table path
+    s3 = delete_ids(spark, ["x"], SinkCatalog(str(tmp_path / "w2")), "sink")
+    assert s3 == {"requested": 1, "deleted": 0}
+
+
+def test_maintain_delete_ids_cli(spark, tmp_path, capsys):
+    """--delete-ids: requires an explicit --tables list, accepts the
+    @file form, reports bulk-delete counts per table."""
+    import json
+
+    import pytest
+
+    from jobs.maintain_sinks import main as maintain_main
+
+    cat = SinkCatalog(str(tmp_path))
+    cfg = PipelineConfig(write_operation="index", id_key="_id")
+    merge_write(spark, _df(spark, [("a", "i1", 1), ("b", "i2", 2)]), cat, cfg)
+
+    with pytest.raises(SystemExit):  # blanket delete must be spelled out
+        maintain_main(["--warehouse", str(tmp_path), "--delete-ids", "a"])
+    capsys.readouterr()
+
+    ids_file = tmp_path / "ids.txt"
+    ids_file.write_text("a\nzz\n")
+    maintain_main(
+        ["--warehouse", str(tmp_path), "--tables", "sink",
+         "--delete-ids", f"@{ids_file}"]
+    )
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["tables"]["sink"]["delete"] == {"requested": 2, "deleted": 1}
+    assert {r["_id"] for r in cat.read(spark, "sink").collect()} == {"b"}
+
+    # dry-run only reports
+    maintain_main(
+        ["--warehouse", str(tmp_path), "--tables", "sink",
+         "--delete-ids", "b", "--dry-run"]
+    )
+    dry = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert dry["tables"]["sink"]["would_delete_ids"] == 1
+    assert {r["_id"] for r in cat.read(spark, "sink").collect()} == {"b"}
