@@ -714,6 +714,71 @@ def hll_estimate_from_catalog(
     return hll_estimate(regs, ["day"])
 
 
+def cms_cells_stream(
+    spark: SparkSession,
+    source: DataFrame,
+    catalog: SinkCatalog,
+    checkpoint_dir: str,
+    key_col: str = "conv_id",
+    available_now: bool = True,
+    processing_time: str = "60 seconds",
+    table: str = "cms_cells",
+):
+    """Streamed portable count-min maintenance — the CMS companion to
+    ``hll_registers_stream``. The update-mode aggregation keys on
+    (row, bucket) only, so streaming state is bounded at d·w = 4096
+    cells BY CONSTRUCTION (no watermark needed — the sketch never
+    grows); each micro-batch upserts the CUMULATIVE cell counts,
+    idempotent under re-delivery. Point queries run query-time via
+    ``cms_estimate_from_catalog`` against ≤ d·w catalog rows. Shares
+    the bucket expressions with the batch builder
+    (``metrics.cms_table`` internals) — the twins cannot drift."""
+    from ..plans.metrics import CMS_DEPTH, CMS_WIDTH, _cms_bucket
+    from ..sinks.writer import merge_write
+
+    buckets = F.array(
+        *[_cms_bucket(F.col(key_col), r, CMS_WIDTH) for r in range(CMS_DEPTH)]
+    )
+    cells = (
+        source.select(F.posexplode(buckets).alias("row", "bucket"))
+        .groupBy("row", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    cfg = PipelineConfig(write_operation="upsert")
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        batch = batch_df.withColumn(
+            "_index", F.concat(F.lit("cms-"), F.col("row").cast("string"))
+        ).withColumn("_id", F.concat_ws(":", "row", "bucket"))
+        merge_write(spark, batch, catalog, cfg, table=table)
+
+    writer = (
+        cells.writeStream.outputMode("update")
+        .foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime=processing_time)
+    return writer.start()
+
+
+def cms_estimate_from_catalog(
+    spark: SparkSession,
+    catalog: SinkCatalog,
+    probes: DataFrame,
+    key_col: str = "key",
+    table: str = "cms_cells",
+) -> DataFrame:
+    """Point-query the streamed cell table — the same
+    ``cms_estimate`` the batch path uses."""
+    from ..plans.metrics import cms_estimate
+
+    cells = catalog.read(spark, table).select("row", "bucket", "cnt")
+    return cms_estimate(cells, probes, key_col)
+
+
 def ingest_dedup_stream(
     spark: SparkSession,
     source: DataFrame,

@@ -202,6 +202,45 @@ def test_cms_python_parity_and_upper_bound(spark):
     assert table.count() <= CMS_DEPTH * CMS_WIDTH
 
 
+def test_cms_stream_matches_batch(spark, tmp_path):
+    """Streamed CMS cells (update-mode cumulative upserts, state
+    bounded at d·w by construction) finalize to EXACTLY the batch
+    cms_table answer across a multi-batch drain."""
+    from fluent_plugin_opensearch_spark.plans.metrics import cms_estimate, cms_table
+    from fluent_plugin_opensearch_spark.sinks.writer import SinkCatalog
+    from fluent_plugin_opensearch_spark.sources.transcripts import load_transcripts
+    from fluent_plugin_opensearch_spark.streaming.stream import (
+        TRANSCRIPTS_SCHEMA,
+        cms_cells_stream,
+        cms_estimate_from_catalog,
+    )
+
+    from .conftest import SF_SMOKE
+
+    src_dir = str(tmp_path / "cms_src")
+    t = load_transcripts(spark, SF_SMOKE)
+    t.repartition(8).write.parquet(src_dir)
+    cat = SinkCatalog(str(tmp_path / "cms_wh"))
+    source = (
+        spark.readStream.schema(TRANSCRIPTS_SCHEMA)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(src_dir)
+    )
+    q = cms_cells_stream(spark, source, cat, str(tmp_path / "cms_ckpt"))
+    q.awaitTermination(180)
+
+    probes = t.select("conv_id").distinct().orderBy(F.md5("conv_id")).limit(8)
+    got = {
+        r["conv_id"]: r["est_count"]
+        for r in cms_estimate_from_catalog(spark, cat, probes, "conv_id").collect()
+    }
+    want = {
+        r["conv_id"]: r["est_count"]
+        for r in cms_estimate(cms_table(t, "conv_id"), probes, "conv_id").collect()
+    }
+    assert got == want and len(got) == 8
+
+
 def test_cms_tables_merge_by_sum(spark):
     from fluent_plugin_opensearch_spark.plans.metrics import cms_estimate, cms_table
 
