@@ -211,11 +211,19 @@ def cms_table(
     )
 
 
-def cms_estimate(table: DataFrame, probes: DataFrame, key_col: str = "key") -> DataFrame:
+def cms_estimate(
+    table: DataFrame,
+    probes: DataFrame,
+    key_col: str = "key",
+    depth: int = CMS_DEPTH,
+    width: int = CMS_WIDTH,
+) -> DataFrame:
     """Point-query the sketch: est(key) = min over rows of the key's
     cell — an upper bound on the true count (classic CMS guarantee).
-    Probe frame is tiny → broadcast both sides of the join."""
-    buckets = F.array(*[_cms_bucket(F.col(key_col), r, CMS_WIDTH) for r in range(CMS_DEPTH)])
+    Probe frame is tiny → broadcast both sides of the join.
+    ``depth``/``width`` MUST match the ``cms_table`` build (mismatched
+    probe buckets would silently undercount)."""
+    buckets = F.array(*[_cms_bucket(F.col(key_col), r, width) for r in range(depth)])
     keyed = probes.select(F.col(key_col), F.posexplode(buckets).alias("row", "bucket"))
     joined = keyed.join(F.broadcast(table), ["row", "bucket"], "left").fillna(
         0, subset=["cnt"]

@@ -695,6 +695,17 @@ def delete_ids(
     all; ids absent from the table are counted in neither error nor
     delete (bulk delete ``not_found`` semantics: idempotent, not an
     error).
+
+    **Snapshot retention caveat (compliance deletes):** on a table
+    with a retained snapshot log, PRE-delete snapshots still reference
+    the pre-delete version dirs — the rows stay on disk and readable
+    via ``read(version=...)`` until ``expire_snapshots`` releases them
+    (vacuum deliberately protects snapshot-referenced dirs). When that
+    happens the result carries ``snapshots_retaining_deleted`` so the
+    caller cannot miss it; for physical removal run
+    ``expire_snapshots`` after (the maintenance CLI does this in one
+    invocation: ``--delete-ids ... --keep-snapshots 0``, since expiry
+    runs after the delete stage).
     """
     if not isinstance(ids, DataFrame):
         ids = spark.createDataFrame([(str(i),) for i in ids], f"{ID_KEY} string")
@@ -728,7 +739,15 @@ def delete_ids(
             removed=tuple(sorted(set(touched) - staged)),
         )
         catalog.vacuum(table)
-        return {"requested": n_req, "deleted": n_hit}
+        stats = {"requested": n_req, "deleted": n_hit}
+        pre_delete = [
+            s["version"]
+            for s in catalog.manifest(table).get("snapshots", [])
+            if s["version"] < version
+        ]
+        if pre_delete:
+            stats["snapshots_retaining_deleted"] = len(pre_delete)
+        return stats
     finally:
         ids.unpersist()
 

@@ -733,17 +733,12 @@ def cms_cells_stream(
     ``cms_estimate_from_catalog`` against ≤ d·w catalog rows. Shares
     the bucket expressions with the batch builder
     (``metrics.cms_table`` internals) — the twins cannot drift."""
-    from ..plans.metrics import CMS_DEPTH, CMS_WIDTH, _cms_bucket
+    from ..plans.metrics import cms_table
     from ..sinks.writer import merge_write
 
-    buckets = F.array(
-        *[_cms_bucket(F.col(key_col), r, CMS_WIDTH) for r in range(CMS_DEPTH)]
-    )
-    cells = (
-        source.select(F.posexplode(buckets).alias("row", "bucket"))
-        .groupBy("row", "bucket")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-    )
+    # the literal batch builder over the streaming frame — one shared
+    # implementation, so an edit to cms_table IS an edit to the stream
+    cells = cms_table(source, key_col)
     cfg = PipelineConfig(write_operation="upsert")
 
     def process(batch_df: DataFrame, batch_id: int) -> None:

@@ -47,7 +47,13 @@ def main(argv: list[str]) -> None:
                         "selected table BEFORE compaction — the "
                         "right-to-be-forgotten pass (partition-scoped "
                         "rewrite, absent ids are not_found-idempotent). "
-                        "Requires an explicit --tables list.")
+                        "Requires an explicit --tables list. NOTE: on a "
+                        "table with a retained snapshot log the deleted "
+                        "rows stay time-travelable until expiry — the "
+                        "report carries snapshots_retaining_deleted when "
+                        "so; combine with --keep-snapshots 0 for physical "
+                        "purge in this same invocation (expiry runs after "
+                        "the delete stage).")
     p.add_argument("--dry-run", action="store_true")
     args = p.parse_args(argv)
 

@@ -605,3 +605,43 @@ def test_maintain_delete_ids_cli(spark, tmp_path, capsys):
     dry = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert dry["tables"]["sink"]["would_delete_ids"] == 1
     assert {r["_id"] for r in cat.read(spark, "sink").collect()} == {"b"}
+
+
+def test_delete_ids_snapshot_retention_flagged(spark, tmp_path):
+    """Compliance contract: on a history-keeping table, delete_ids
+    reports the pre-delete snapshots that still retain the rows; the
+    row stays time-travelable until expiry, and expire+vacuum makes
+    the removal physical."""
+    import os
+
+    from fluent_plugin_opensearch_spark.sinks.writer import delete_ids
+
+    cat = SinkCatalog(str(tmp_path), snapshots_kept=4)
+    cfg = PipelineConfig(write_operation="index", id_key="_id")
+    merge_write(spark, _df(spark, [("a", "i1", 1)]), cat, cfg)
+    merge_write(spark, _df(spark, [("b", "i1", 2)]), cat, cfg)
+    pre_versions = cat.snapshots("sink")
+    assert pre_versions  # history exists
+
+    s = delete_ids(spark, ["a"], cat, "sink")
+    assert s["requested"] == 1 and s["deleted"] == 1
+    assert s["snapshots_retaining_deleted"] == len(pre_versions)
+    # current read is clean, but the pre-delete snapshot still serves 'a'
+    assert {r["_id"] for r in cat.read(spark, "sink").collect()} == {"b"}
+    old = pre_versions[-1]
+    assert {r["_id"] for r in cat.read(spark, "sink", version=old).collect()} == {"a", "b"}
+
+    # physical purge: expire history, vacuum the released dirs
+    cat.expire_snapshots("sink", keep=0)
+    cat.vacuum("sink")
+    # only the (post-delete) current version remains time-travelable
+    assert cat.snapshots("sink") == [cat.manifest("sink")["current_version"]]
+    live = {v for vs in cat.manifest("sink")["partitions"].values() for v in vs}
+    on_disk = {d for d in os.listdir(cat.path("sink")) if d.startswith("v_")}
+    assert on_disk == live  # pre-delete version dirs are gone
+    assert {r["_id"] for r in cat.read(spark, "sink").collect()} == {"b"}
+
+    # a history-free table keeps the compact two-field result
+    cat2 = SinkCatalog(str(tmp_path / "nohist"))
+    merge_write(spark, _df(spark, [("x", "i1", 1)]), cat2, cfg)
+    assert delete_ids(spark, ["x"], cat2, "sink") == {"requested": 1, "deleted": 1}
