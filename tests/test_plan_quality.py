@@ -419,3 +419,38 @@ def test_log_templates_is_projection_plus_agg(spark):
     plan = _plan(log_templates(docs))
     assert "Window" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_hll_two_exchanges_with_mapside_register_combine(spark):
+    """Portable HLL must be exactly two exchanges — the register
+    groupBy (whose partial_max IS the map-side combine that bounds the
+    shuffle at groups×4096 rows regardless of cardinality) and the
+    tiny per-group estimate agg. No window, no Python."""
+    from fluent_plugin_opensearch_spark.plans.metrics import hll_distinct
+
+    t = spark.read.parquet(f"{SF_SMOKE}/events.parquet").selectExpr(
+        "cast(event_id % 7 AS string) AS grp", "cast(event_id AS string) AS k"
+    )
+    import re
+
+    plan = _plan(hll_distinct(t, "k", ["grp"]))
+    assert len(re.findall(r"\(\d+\) Exchange\b", plan)) == 2
+    assert "partial_max" in plan  # map-side register combine
+    assert "Window" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_cms_table_single_exchange(spark):
+    """The CMS cell build is posexplode → ONE exchange onto ≤ d·w
+    cells, with a map-side partial count."""
+    from fluent_plugin_opensearch_spark.plans.metrics import cms_table
+
+    t = spark.read.parquet(f"{SF_SMOKE}/events.parquet").selectExpr(
+        "cast(event_id AS string) AS k"
+    )
+    import re
+
+    plan = _plan(cms_table(t, "k"))
+    assert len(re.findall(r"\(\d+\) Exchange\b", plan)) == 1
+    assert "partial_count" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
