@@ -75,6 +75,31 @@ def test_md5_chain_matches_python_reference(spark):
     assert spark_regs == regs
 
 
+def test_md5_chain_random_and_unicode_property(spark):
+    """Seeded-random multiplicities across several groups, including
+    non-ASCII keys (md5 runs over UTF-8 bytes in all three engines) —
+    estimate and register parity must hold for every group."""
+    import random
+
+    rng = random.Random(20260819)
+    scripts = ["conv", "диалог", "会話", "대화", "café"]
+    keys_by_group: dict = {}
+    rows = []
+    for g in range(5):
+        n = rng.randint(1, 2000)
+        keys = [f"{scripts[g]}-{i}" for i in range(n)]
+        keys_by_group[f"g{g}"] = keys
+        for k in keys:
+            rows += [(f"g{g}", k)] * rng.randint(1, 3)
+    rng.shuffle(rows)
+    df = spark.createDataFrame(rows, "grp string, k string")
+    got = {r["grp"]: r for r in hll_distinct(df, "k", ["grp"]).collect()}
+    for g, keys in keys_by_group.items():
+        _, used, est = _py_hll(keys)
+        assert got[g]["used_registers"] == used, g
+        assert got[g]["est_distinct"] == est, g
+
+
 def test_register_tables_merge(spark):
     keys = [f"conv-{i}" for i in range(3000)]
     whole = _keys_df(spark, keys)
