@@ -174,12 +174,27 @@ def asof_join(
         .orderBy(F.col(ts_col).asc_nulls_first(), F.col("_is_fact").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    # carry the payload as ONE struct (non-null only on version rows):
+    # every carried field comes from the SAME in-force version — a
+    # per-column last(ignorenulls) would skip a legitimately-NULL
+    # field in the current version and stitch values from different
+    # policy revisions together
+    ver_struct = F.when(
+        F.col("_is_fact") == 0, F.struct(*[F.col(c) for c in payload])
+    )
     carried = u.select(
         *[F.col(c) for c in df.columns],
-        *[F.last(c, ignorenulls=True).over(w).alias(c) for c in payload],
+        F.last(ver_struct, ignorenulls=True).over(w).alias("_v"),
         F.col("_is_fact"),
     )
-    return carried.where(F.col("_is_fact") == 1).drop("_is_fact").unionByName(null_out)
+    return (
+        carried.where(F.col("_is_fact") == 1)
+        .select(
+            *[F.col(c) for c in df.columns],
+            *[F.col("_v")[c].alias(c) for c in payload],
+        )
+        .unionByName(null_out)
+    )
 
 
 #: maintenance_windows(window_id, starts, ends, severity) — interval

@@ -450,15 +450,37 @@ def index_upsert_batch(
     cached = [docs]
     try:
         counts = docs.agg(
-            F.count(F.lit(1)).alias("n"), F.countDistinct(id_col).alias("nd")
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct(id_col).alias("nd"),
+            F.sum(F.when(F.col(id_col).isNull(), 1).otherwise(0)).alias("n_null"),
         ).first()
         n_batch = counts["n"]
+        if counts["n_null"]:
+            # countDistinct excludes NULLs — name the real problem
+            # instead of a misleading duplicate-id error
+            raise ValueError(
+                f"index_upsert_batch: batch has {counts['n_null']} NULL "
+                f"{id_col} values — every doc needs a stable id for "
+                "generation tracking (assign ids upstream)"
+            )
         if n_batch != counts["nd"]:
             raise ValueError(
                 f"index_upsert_batch: batch has duplicate {id_col} values "
                 f"({n_batch} rows, {counts['nd']} distinct) — one version of a "
                 "doc per batch (dedupe upstream, e.g. ingest_dedup_stream)"
             )
+        # Replay guard: every derived quantity below (updated_old, gens,
+        # stale rows, stats deltas) is computed FROM the current
+        # index_docs state, so it is only valid while this batch's merge
+        # has not committed. The merge commits LAST; its marker therefore
+        # witnesses that the whole batch (stale + postings + stats +
+        # merge) committed — a re-delivered batch must stop HERE, before
+        # recomputing state against the post-merge table (which would
+        # classify the batch's own rows as "previous generations" and
+        # write corrupt stale rows / zeroed stats).
+        if marker is not None and catalog.has_marker(docs_table, marker):
+            return {"input": n_batch, "new_docs": 0, "updated_docs": 0, "replayed": True}
+
         batch_docs = docs.select(
             F.col(id_col), F.size(_tokens(text_col)).cast("bigint").alias("dl")
         ).withColumn("_index", id_bucket_expr(id_col, n_id_buckets))
@@ -521,16 +543,22 @@ def index_upsert_batch(
             post, catalog, table, sink_partitions=sink_partitions, marker=marker
         )
 
-        # 3) index_docs: partition-scoped merge (keep-new on id)
-        _merge_index_docs(spark, catalog, docs_table, gen_frame, id_col, marker)
-
-        # 4) stats correction row: sums stay exact under updates
+        # 3) stats correction row: sums stay exact under updates.
+        #    Derived from PRE-merge state, so it must commit before the
+        #    merge — a crash between the two leaves a marker-protected
+        #    stats row and an uncommitted merge; re-delivery recomputes
+        #    identical pre-merge state and only the merge runs.
         dl_new_sum = gen_frame.agg(F.sum("dl")).first()[0] or 0
         stats = spark.createDataFrame(
             [(n_batch - n_updated, dl_new_sum - dl_old_sum, "stats")],
             "n_docs long, sum_dl long, _index string",
         )
         append_to_sink(stats, catalog, stats_table, marker=marker)
+
+        # 4) index_docs: partition-scoped merge (keep-new on id) — LAST,
+        #    because its commit invalidates every pre-merge derivation
+        #    above; its marker doubles as the whole-batch replay guard.
+        _merge_index_docs(spark, catalog, docs_table, gen_frame, id_col, marker)
         return {"input": n_batch, "new_docs": n_batch - n_updated, "updated_docs": n_updated}
     finally:
         # a continuous upsert stream calls this per micro-batch —

@@ -457,6 +457,7 @@ def funnel_stages(
             if step_idx is None
             else step_idx.when(F.col(match_col) == s, i)
         )
+    o_type = df.schema[order_col].dataType
     per = df.groupBy(group_col).agg(
         F.sort_array(
             F.collect_list(
@@ -467,8 +468,21 @@ def funnel_stages(
             )
         ).alias("_m")
     )
+    # the accumulator carries the last MATCHED position so rows tied at
+    # the same order_col value cannot advance two stages (the contract
+    # is strictly increasing positions — exactly the chained-min
+    # formulation the DuckDB oracle computes)
     stage = F.aggregate(
-        "_m", F.lit(0), lambda acc, x: F.when(x["s"] == acc, acc + 1).otherwise(acc)
+        "_m",
+        F.struct(
+            F.lit(0).alias("stage"), F.lit(None).cast(o_type).alias("last_o")
+        ),
+        lambda acc, x: F.when(
+            (x["s"] == acc["stage"])
+            & (acc["last_o"].isNull() | (x["o"] > acc["last_o"])),
+            F.struct((acc["stage"] + 1).alias("stage"), x["o"].alias("last_o")),
+        ).otherwise(acc),
+        lambda acc: acc["stage"],
     )
     return per.select(group_col, stage.cast("int").alias("stage"))
 

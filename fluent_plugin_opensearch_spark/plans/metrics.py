@@ -116,7 +116,8 @@ def hll_registers(
     second scan."""
     idx, rho = hll_idx_rho()
     return (
-        df.withColumn("_hll_h", hasher(F.col(key_col)))
+        df.filter(F.col(key_col).isNotNull())  # NULLs count toward nothing
+        .withColumn("_hll_h", hasher(F.col(key_col)))
         .groupBy(*group_cols, idx)
         .agg(F.max(rho).cast("int").alias("rho"), F.count(F.lit(1)).alias("cnt"))
     )
@@ -205,7 +206,8 @@ def cms_table(
     regardless of key cardinality. Mergeable by summing cells."""
     buckets = F.array(*[_cms_bucket(F.col(key_col), r, width) for r in range(depth)])
     return (
-        df.select(F.posexplode(buckets).alias("row", "bucket"))
+        df.filter(F.col(key_col).isNotNull())  # same NULL rule as HLL
+        .select(F.posexplode(buckets).alias("row", "bucket"))
         .groupBy("row", "bucket")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )

@@ -709,7 +709,12 @@ def delete_ids(
     """
     if not isinstance(ids, DataFrame):
         ids = spark.createDataFrame([(str(i),) for i in ids], f"{ID_KEY} string")
-    ids = ids.select(F.col(ids.columns[0]).alias(ID_KEY)).distinct().persist()
+    ids = (
+        ids.select(F.col(ids.columns[0]).cast("string").alias(ID_KEY))
+        .filter(F.col(ID_KEY).isNotNull())
+        .distinct()
+        .persist()
+    )
     try:
         n_req = ids.count()
         if not catalog.exists(table):

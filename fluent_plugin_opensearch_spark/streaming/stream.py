@@ -583,8 +583,6 @@ def hourly_totals_stream(
     single late row can flip any hour's flag — flags are query-time
     over the rollup, counts are the incremental part (the
     rank-vs-count split of the heavy-hitter twin)."""
-    from ..sinks.writer import merge_write
-
     counts = (
         source.withColumn("ts", F.col("ts").cast("timestamp"))
         .withWatermark("ts", watermark)
@@ -592,24 +590,12 @@ def hourly_totals_stream(
         .agg(F.count(F.lit(1)).alias("n_turns"))
         .select(F.date_format(F.col("w.start"), "yyyy-MM-dd HH").alias("hour"), "n_turns")
     )
-    cfg = PipelineConfig(write_operation="upsert")
-
-    def process(batch_df: DataFrame, batch_id: int) -> None:
-        batch = batch_df.withColumn(
-            "_index", F.concat(F.lit("ht-"), F.substring("hour", 1, 10))
-        ).withColumn("_id", F.col("hour"))
-        merge_write(spark, batch, catalog, cfg, table=table)
-
-    writer = (
-        counts.writeStream.outputMode("update")
-        .foreachBatch(process)
-        .option("checkpointLocation", checkpoint_dir)
+    return _upsert_rollup_stream(
+        spark, counts, catalog, checkpoint_dir, table,
+        index_expr=F.concat(F.lit("ht-"), F.substring("hour", 1, 10)),
+        id_expr=F.col("hour"),
+        available_now=available_now, processing_time=processing_time,
     )
-    if available_now:
-        writer = writer.trigger(availableNow=True)
-    else:
-        writer = writer.trigger(processingTime=processing_time)
-    return writer.start()
 
 
 def anomalies_from_rollup(rollup: DataFrame, k: int = 3) -> DataFrame:
@@ -646,6 +632,45 @@ def windowed_sink_counts(
     )
 
 
+def _upsert_rollup_stream(
+    spark: SparkSession,
+    frame: DataFrame,
+    catalog: SinkCatalog,
+    checkpoint_dir: str,
+    table: str,
+    index_expr,
+    id_expr,
+    available_now: bool,
+    processing_time: str,
+):
+    """Shared scaffold of the cumulative-upsert rollup streams
+    (hourly totals, HLL registers, CMS cells): an update-mode
+    aggregation emits CUMULATIVE rows, foreachBatch upserts them into
+    the catalog keyed by ``id_expr`` and partitioned by ``index_expr``
+    — idempotent under micro-batch re-delivery with no marker, because
+    a re-delivered batch rewrites the same keys with the same
+    cumulative values. One implementation so a change to trigger or
+    merge handling cannot miss a twin."""
+    from ..sinks.writer import merge_write
+
+    cfg = PipelineConfig(write_operation="upsert")
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        batch = batch_df.withColumn("_index", index_expr).withColumn("_id", id_expr)
+        merge_write(spark, batch, catalog, cfg, table=table)
+
+    writer = (
+        frame.writeStream.outputMode("update")
+        .foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime=processing_time)
+    return writer.start()
+
+
 def hll_registers_stream(
     spark: SparkSession,
     source: DataFrame,
@@ -671,35 +696,23 @@ def hll_registers_stream(
     expressions with the batch builder (``metrics.hll_idx_rho``) —
     the twins cannot drift."""
     from ..plans.metrics import _hll_md5_hash, hll_idx_rho
-    from ..sinks.writer import merge_write
 
     idx, rho = hll_idx_rho()
     regs = (
         source.withColumn("ts", F.col("ts").cast("timestamp"))
         .withWatermark("ts", watermark)
+        .filter(F.col(key_col).isNotNull())  # same NULL rule as the batch builder
         .withColumn("_hll_h", (hasher or _hll_md5_hash)(F.col(key_col)))
         .groupBy(F.window("ts", "1 day").alias("w"), idx)
         .agg(F.max(rho).cast("int").alias("rho"), F.count(F.lit(1)).alias("cnt"))
         .select(F.date_format(F.col("w.start"), "yyyy-MM-dd").alias("day"), "idx", "rho", "cnt")
     )
-    cfg = PipelineConfig(write_operation="upsert")
-
-    def process(batch_df: DataFrame, batch_id: int) -> None:
-        batch = batch_df.withColumn(
-            "_index", F.concat(F.lit("hllr-"), F.col("day"))
-        ).withColumn("_id", F.concat_ws(":", "day", "idx"))
-        merge_write(spark, batch, catalog, cfg, table=table)
-
-    writer = (
-        regs.writeStream.outputMode("update")
-        .foreachBatch(process)
-        .option("checkpointLocation", checkpoint_dir)
+    return _upsert_rollup_stream(
+        spark, regs, catalog, checkpoint_dir, table,
+        index_expr=F.concat(F.lit("hllr-"), F.col("day")),
+        id_expr=F.concat_ws(":", "day", "idx"),
+        available_now=available_now, processing_time=processing_time,
     )
-    if available_now:
-        writer = writer.trigger(availableNow=True)
-    else:
-        writer = writer.trigger(processingTime=processing_time)
-    return writer.start()
 
 
 def hll_estimate_from_catalog(
@@ -734,29 +747,16 @@ def cms_cells_stream(
     the bucket expressions with the batch builder
     (``metrics.cms_table`` internals) — the twins cannot drift."""
     from ..plans.metrics import cms_table
-    from ..sinks.writer import merge_write
 
     # the literal batch builder over the streaming frame — one shared
     # implementation, so an edit to cms_table IS an edit to the stream
     cells = cms_table(source, key_col)
-    cfg = PipelineConfig(write_operation="upsert")
-
-    def process(batch_df: DataFrame, batch_id: int) -> None:
-        batch = batch_df.withColumn(
-            "_index", F.concat(F.lit("cms-"), F.col("row").cast("string"))
-        ).withColumn("_id", F.concat_ws(":", "row", "bucket"))
-        merge_write(spark, batch, catalog, cfg, table=table)
-
-    writer = (
-        cells.writeStream.outputMode("update")
-        .foreachBatch(process)
-        .option("checkpointLocation", checkpoint_dir)
+    return _upsert_rollup_stream(
+        spark, cells, catalog, checkpoint_dir, table,
+        index_expr=F.concat(F.lit("cms-"), F.col("row").cast("string")),
+        id_expr=F.concat_ws(":", "row", "bucket"),
+        available_now=available_now, processing_time=processing_time,
     )
-    if available_now:
-        writer = writer.trigger(availableNow=True)
-    else:
-        writer = writer.trigger(processingTime=processing_time)
-    return writer.start()
 
 
 def cms_estimate_from_catalog(

@@ -165,3 +165,44 @@ def test_funnel_duplicate_steps_rejected(spark):
     t = load_transcripts(spark, SF_SMOKE)
     with pytest.raises(ValueError):
         funnel_stages(t, ("user", "user"))
+
+
+@pytest.mark.parametrize("impl", [asof_enrich, asof_join])
+def test_asof_null_payload_not_skipped(spark, impl):
+    """A legitimately-NULL payload field in the in-force version must
+    be returned as NULL — not skipped in favor of an older version's
+    value, and never stitched together from two different revisions."""
+    vers = spark.createDataFrame(
+        [
+            ("a", TS(2024, 1, 10), "allow", 1),
+            ("a", TS(2024, 1, 20), None, 2),  # rev 2 revokes the policy
+        ],
+        "k string, valid_from timestamp_ntz, policy string, rev int",
+    )
+    facts = spark.createDataFrame(
+        [("f1", "a", TS(2024, 1, 15)), ("f2", "a", TS(2024, 2, 1))],
+        "name string, k string, ts timestamp_ntz",
+    )
+    got = {r["name"]: (r["policy"], r["rev"]) for r in impl(facts, vers, on="k", ts_col="ts").collect()}
+    assert got == {"f1": ("allow", 1), "f2": (None, 2)}
+
+
+def test_funnel_tied_positions_do_not_double_advance(spark):
+    """Rows tied at the same order_col value cannot advance two
+    stages: the contract is strictly increasing positions (the
+    chained-min formulation the oracle computes)."""
+    rows = [
+        ("c_tie", 5, "user"),
+        ("c_tie", 5, "assistant"),  # tied with the stage-1 match -> no advance
+        ("c_ok", 5, "user"),
+        ("c_ok", 6, "assistant"),
+        ("c_rev", 5, "assistant"),  # wrong order, then proper later match
+        ("c_rev", 6, "user"),
+        ("c_rev", 7, "assistant"),
+    ]
+    df = spark.createDataFrame(rows, "conv_id string, turn_idx int, role string")
+    got = {
+        r["conv_id"]: r["stage"]
+        for r in funnel_stages(df, ("user", "assistant")).collect()
+    }
+    assert got == {"c_tie": 1, "c_ok": 2, "c_rev": 2}

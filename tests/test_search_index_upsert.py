@@ -192,3 +192,52 @@ def test_index_stream_upsert_parity(spark, tmp_path):
         got = _topk(search_index(spark, cat, query, k=10))
         want = _topk(bm25_topk(_mk(spark, FINAL), query, k=10))
         assert got == want, query
+
+
+def test_upsert_fresh_batch_full_redelivery(spark, tmp_path):
+    """A re-delivered FRESH batch (no updates → the stale table never
+    committed a marker in the first attempt) must stop at the
+    merge-marker replay guard — before the guard, re-delivery
+    recomputed generations against the post-merge docs table,
+    classified the batch's own rows as superseded, and wrote stale
+    rows that killed every live posting."""
+    cat = SinkCatalog(str(tmp_path / "wh"))
+    s1 = index_upsert_batch(spark, cat, _mk(spark, B1), marker="b1")
+    assert s1 == {"input": 3, "new_docs": 3, "updated_docs": 0}
+    before = _topk(search_index(spark, cat, "shuffle join", k=10))
+
+    s2 = index_upsert_batch(spark, cat, _mk(spark, B1), marker="b1")
+    assert s2.get("replayed") is True and s2["updated_docs"] == 0
+    assert _topk(search_index(spark, cat, "shuffle join", k=10)) == before
+    assert not cat.exists("index_stale")  # no bogus stale rows appeared
+
+
+def test_upsert_crash_before_docs_merge_then_redelivery(spark, tmp_path, monkeypatch):
+    """Partial-crash window: stale+postings+stats committed, crash
+    before the index_docs merge. Re-delivery must recompute identical
+    pre-merge state (markers skip the committed tables) and complete
+    only the merge — final index == a single clean delivery."""
+    from fluent_plugin_opensearch_spark.operators import search as S
+
+    # clean reference warehouse
+    ref = SinkCatalog(str(tmp_path / "ref"))
+    index_upsert_batch(spark, ref, _mk(spark, B1), marker="b1")
+    index_upsert_batch(spark, ref, _mk(spark, B2), marker="b2")
+    want = _topk(search_index(spark, ref, "shuffle join", k=10))
+
+    cat = SinkCatalog(str(tmp_path / "wh"))
+    index_upsert_batch(spark, cat, _mk(spark, B1), marker="b1")
+
+    real_merge = S._merge_index_docs
+
+    def crash_merge(*a, **kw):
+        raise RuntimeError("simulated crash before the docs merge")
+
+    monkeypatch.setattr(S, "_merge_index_docs", crash_merge)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        index_upsert_batch(spark, cat, _mk(spark, B2), marker="b2")
+    monkeypatch.setattr(S, "_merge_index_docs", real_merge)
+
+    s = index_upsert_batch(spark, cat, _mk(spark, B2), marker="b2")
+    assert s == {"input": 2, "new_docs": 1, "updated_docs": 1}  # not corrupted
+    assert _topk(search_index(spark, cat, "shuffle join", k=10)) == want
