@@ -206,3 +206,38 @@ def test_funnel_tied_positions_do_not_double_advance(spark):
         for r in funnel_stages(df, ("user", "assistant")).collect()
     }
     assert got == {"c_tie": 1, "c_ok": 2, "c_rev": 2}
+
+
+def _py_funnel_strict(items: list, steps: tuple) -> int:
+    """Strict-position reference: matches sorted by (pos, step_idx),
+    stage advances only at a position strictly beyond the last match —
+    the chained-min formulation."""
+    sidx = {s: i for i, s in enumerate(steps)}
+    stage, last = 0, None
+    for p, si in sorted((p, sidx[l]) for p, l in items if l in sidx):
+        if si == stage and (last is None or p > last):
+            stage += 1
+            last = p
+    return stage
+
+
+def test_funnel_property_random_with_ties(spark):
+    """Random sequences with REPEATED order positions: Spark fold ==
+    the strict-position Python reference (ties can never advance two
+    stages at one position)."""
+    rng = random.Random(20260819)
+    steps = ("u", "a", "s")
+    labels = ["u", "a", "s", "x"]
+    rows, expected = [], {}
+    for g in range(80):
+        gid = f"t{g:02d}"
+        items = [
+            (rng.randint(0, 5), rng.choice(labels))
+            for _ in range(rng.randint(1, 10))
+        ]
+        for p, label in items:
+            rows.append((gid, p, label))
+        expected[gid] = _py_funnel_strict(items, steps)
+    df = spark.createDataFrame(rows, "conv_id string, turn_idx int, role string")
+    got = {r["conv_id"]: r["stage"] for r in funnel_stages(df, steps).collect()}
+    assert got == expected
