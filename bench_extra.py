@@ -89,6 +89,10 @@ def main() -> None:
             t0 = time.time()
             force(QUERIES[name](spark, sf_dir))
             times[name].append(round(time.time() - t0, 3))
+            # driver parity: each bench.py query computes from parquet
+            # with no pre-existing cache — drop internal persists so
+            # rep N+1 does not ride rep N's materialized signatures
+            spark.catalog.clearCache()
     loadavg = [float(x) for x in open("/proc/loadavg").read().split()[:3]]
     print(
         json.dumps(

@@ -73,10 +73,16 @@ def fingerprint(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text")
     return docs.select(F.col(id_col), normalized_fp(text_col).alias("fingerprint"))
 
 
-def _shingles(text_col: str, k: int = 3):
+def _shingles(toks, k: int = 3):
     """Word k-shingles as an array column (built-ins only):
-    tokens[i:i+k] joined by space, via transform over index range."""
-    toks = ws_tokens(F.col(text_col))
+    tokens[i:i+k] joined by space, via transform over index range.
+
+    ``toks`` must be a MATERIALIZED token-array column (a bound
+    attribute, e.g. ``F.col("_toks")`` after a select), never the
+    inline ``ws_tokens(...)`` expression: HOF lambdas re-evaluate
+    outer expressions per element (CLAUDE.md gotcha), so an inline
+    tokenizer here re-tokenizes the document once per shingle —
+    measured 7-10x slower on the shingle explode at sf1.0 (r6)."""
     n = F.greatest(F.size(toks) - (k - 1), F.lit(0))
     idx = F.sequence(F.lit(0), n - 1)
     return F.when(
@@ -116,13 +122,37 @@ def minhash_signatures(
 
     Docs with fewer than ``shingle_k`` tokens produce no shingles and
     are absent from the output (they cannot be near-dup candidates).
+
+    The ``shingles`` output column holds the seed-0 HASH of each
+    distinct shingle, not the string (r6): exact-Jaccard verification
+    only needs set intersection/union sizes, which are identical on
+    the hashed sets absent a 60/64-bit collision inside one candidate
+    pair's sets (astronomically unlikely; the md5-twin full-chain
+    oracles stay green). Hashed sets collect/persist/shuffle longs
+    instead of ~20-char strings and make the verify-stage
+    array_intersect integer comparisons.
     """
     hasher = hasher or (lambda c, seed: F.xxhash64(c, F.lit(seed)))
-    sh_rows = _ensure_parallelism(docs).select(
-        F.col(id_col), F.explode(_shingles(text_col, shingle_k)).alias("shingle")
+    sh_rows = (
+        _ensure_parallelism(docs)
+        .select(F.col(id_col), ws_tokens(F.col(text_col)).alias("_toks"))
+        .select(F.col(id_col), F.explode(_shingles(F.col("_toks"), shingle_k)).alias("shingle"))
     )
-    mins = [F.min(hasher(F.col("shingle"), i)).alias(f"_h{i}") for i in range(num_hashes)]
-    agg = sh_rows.groupBy(id_col).agg(*mins, F.collect_set("shingle").alias("shingles"))
+    # Per-occurrence hashing with the seed-0 hash projected once (it
+    # feeds both min(_h0) and the verify set). A hash-distinct-
+    # shingles-then-join-back variant was measured (r6): it only wins
+    # with the hash table force-broadcast (3.6 s -> 2.5 s at sf1.0 on
+    # the md5 twin), which bakes a bench-scale assumption into a
+    # corpus-scale operator — under AQE's shuffle-then-convert it is
+    # 3x SLOWER. Kept per-occurrence: one corpus shuffle, map-side
+    # partial mins.
+    sh_rows = sh_rows.select(
+        F.col(id_col), F.col("shingle"), hasher(F.col("shingle"), 0).alias("_h0v")
+    )
+    mins = [F.min("_h0v").alias("_h0")] + [
+        F.min(hasher(F.col("shingle"), i)).alias(f"_h{i}") for i in range(1, num_hashes)
+    ]
+    agg = sh_rows.groupBy(id_col).agg(*mins, F.collect_set("_h0v").alias("shingles"))
     return agg.select(
         F.col(id_col),
         F.col("shingles"),
@@ -210,6 +240,11 @@ def minhash_lsh_pairs(
         )
         .filter(F.col("_bn") <= max_bucket_size)
         .drop("_bn")
+        # materialize the guarded banded rows once (narrow: id, band,
+        # bucket): without this the explode+window guard re-runs on
+        # both self-join sides (from the sigs cache, but still a full
+        # window pass each — r6)
+        .persist()
     )
 
     cand = (
@@ -558,8 +593,11 @@ def ngram_jaccard_pairs(
 def _positional_shingles(docs: DataFrame, id_col: str, text_col: str, k: int) -> DataFrame:
     """(id, pos, shingle) rows preserving order and duplicates — the
     positional variant of ``_shingles`` (winnowing is position-aware,
-    so no array_distinct here)."""
-    toks = ws_tokens(F.col(text_col))
+    so no array_distinct here). The token array is materialized in a
+    first select so the shingle lambda reads a bound attribute, not
+    the tokenizer expression (same per-element recompute gotcha as
+    ``_shingles`` — r6)."""
+    toks = F.col("_toks")
     n = F.greatest(F.size(toks) - (k - 1), F.lit(0))
     arr = F.when(
         n > 0,
@@ -568,8 +606,10 @@ def _positional_shingles(docs: DataFrame, id_col: str, text_col: str, k: int) ->
             lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j + 1) for j in range(k)]),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    return _ensure_parallelism(docs).select(
-        F.col(id_col), F.posexplode(arr).alias("pos", "shingle")
+    return (
+        _ensure_parallelism(docs)
+        .select(F.col(id_col), ws_tokens(F.col(text_col)).alias("_toks"))
+        .select(F.col(id_col), F.posexplode(arr).alias("pos", "shingle"))
     )
 
 
@@ -655,6 +695,12 @@ def winnow_pairs(
         )
         .filter(F.col("_pn") <= max_postings)
         .drop("_pn")
+        # materialize ONCE: the self-join otherwise recomputes the
+        # whole fingerprint chain (explode -> hash -> two windows ->
+        # distinct -> guard) on its broadcast build side — measured
+        # ~2x the query at sf1.0 (r6). At corpus scale this persist is
+        # the stored fingerprint-posting table.
+        .persist()
     )
     return (
         posting.alias("a")
