@@ -331,11 +331,26 @@ def dsir_bucket_features(
     OCCURRENCE (multiset counts, per the paper). Pure map-side:
     explode + hash + pmod, no shuffle."""
     hasher = hasher or (lambda c: F.xxhash64(c, F.lit(41)))
-    feats = word_ngrams(docs, 1, id_col, text_col).unionByName(
-        word_ngrams(docs, 2, id_col, text_col)
+    # one tokenize per document: unigrams ARE the token array and the
+    # bigrams are built from the same materialized array, concatenated
+    # before ONE explode — the union-of-word_ngrams shape tokenized
+    # every document twice for the same feature multiset (r6)
+    toks = F.col("_toks")
+    n = F.size(toks)
+    bigrams = F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(n - 1, F.lit(1))),
+            lambda i: F.concat_ws(" ", F.element_at(toks, i), F.element_at(toks, i + 1)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    grams = F.when(n >= 1, F.concat(toks, bigrams)).otherwise(
+        F.array().cast("array<string>")
     )
-    return feats.select(
-        F.col(id_col), F.pmod(hasher(F.col("ngram")), F.lit(buckets)).alias("bucket")
+    return (
+        docs.select(F.col(id_col), ws_tokens(F.col(text_col)).alias("_toks"))
+        .select(F.col(id_col), F.explode(grams).alias("ngram"))
+        .select(F.col(id_col), F.pmod(hasher(F.col("ngram")), F.lit(buckets)).alias("bucket"))
     )
 
 

@@ -859,16 +859,21 @@ def cosine_topk(
     Returns (q_id, neighbor_id, rank). The scale path swaps the corpus
     side for an IVF/LSH-bucketed pre-filter (`ivf_topk`)."""
     v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-    base = emb.select(F.col(id_col), v.alias("v"))
+    norm = lambda c: F.sqrt(F.aggregate(F.transform(c, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x))  # noqa: E731
+    # norms are per-VECTOR, so compute them once per corpus/query row
+    # BEFORE the pair fan-out — the old shape re-ran both norm
+    # traversals per candidate pair (|queries| x per corpus row),
+    # measured ~2x the whole query at sf1.0 (r6). Same expression on
+    # the same array => bit-identical sim values.
+    base = emb.select(F.col(id_col), v.alias("v")).withColumn("nv", norm(F.col("v")))
     q = base.filter(F.col(id_col).isin(query_ids)).select(
-        F.col(id_col).alias("q_id"), F.col("v").alias("qv")
+        F.col(id_col).alias("q_id"), F.col("v").alias("qv"), F.col("nv").alias("nq")
     )
     dot = F.aggregate(F.zip_with("v", "qv", lambda a, b: a * b), F.lit(0.0), lambda acc, x: acc + x)
-    norm = lambda c: F.sqrt(F.aggregate(F.transform(c, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x))  # noqa: E731
     pairs = (
         base.crossJoin(F.broadcast(q))
         .filter(F.col(id_col) != F.col("q_id"))
-        .withColumn("sim", dot / (norm(F.col("v")) * norm(F.col("qv"))))
+        .withColumn("sim", dot / (F.col("nv") * F.col("nq")))
     )
     w = Window.partitionBy("q_id").orderBy(F.desc("sim"), F.col(id_col))
     return (
@@ -934,7 +939,12 @@ def ivf_topk(
             out = out + bit(j)
         return out
 
-    corpus = base.withColumn("bucket", bucket(F.col("v")))
+    norm = lambda c: F.sqrt(F.aggregate(F.transform(c, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x))  # noqa: E731
+    # per-vector norms computed once per row, not per candidate pair
+    # (same rationale + bit-identity argument as cosine_topk — r6)
+    corpus = base.withColumn("bucket", bucket(F.col("v"))).withColumn(
+        "nv", norm(F.col("v"))
+    )
     # multi-probe LSH: each query probes its own bucket plus every
     # bucket at Hamming distance 1 — the standard recall lever that
     # keeps the candidate set ~(1+bits)/2^bits of the corpus.
@@ -946,15 +956,15 @@ def ivf_topk(
         .select(
             F.col(id_col).alias("q_id"),
             F.col("v").alias("qv"),
+            F.col("nv").alias("nq"),
             F.explode(probes).alias("qbucket"),
         )
     )
     dot = F.aggregate(F.zip_with("v", "qv", lambda a, b: a * b), F.lit(0.0), lambda acc, x: acc + x)
-    norm = lambda c: F.sqrt(F.aggregate(F.transform(c, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x))  # noqa: E731
     pairs = (
         corpus.join(F.broadcast(q), on=F.col("bucket") == F.col("qbucket"), how="inner")
         .filter(F.col(id_col) != F.col("q_id"))
-        .withColumn("sim", dot / (norm(F.col("v")) * norm(F.col("qv"))))
+        .withColumn("sim", dot / (F.col("nv") * F.col("nq")))
     )
     w = Window.partitionBy("q_id").orderBy(F.desc("sim"), F.col(id_col))
     return (
@@ -1039,7 +1049,6 @@ def dedup_clusters_star(pairs: DataFrame, max_iter: int = 20, stats: dict | None
     edges = canon(
         pairs.select(F.col("doc_a").alias("x"), F.col("doc_b").alias("y"))
     ).localCheckpoint()
-    n_edges = edges.count()
     rounds = 0
     converged = False
     for _ in range(max_iter):
@@ -1061,16 +1070,21 @@ def dedup_clusters_star(pairs: DataFrame, max_iter: int = 20, stats: dict | None
             .select(F.col("a").alias("x"), F.col("mn").alias("y"))
             .unionByName(minsS.select(F.col("b").alias("x"), F.col("mn").alias("y")))
         ).localCheckpoint()
-        # convergence: both sides are canonical DISTINCT edge sets, so
-        # equal count + empty anti-join is exact set equality — the
-        # anti-join beats exceptAll (no multiset bookkeeping) and the
-        # previous round's count is cached instead of recounted
-        n_ss = ss.count()
+        # convergence in ONE job (r6 — the count + anti-join pair cost
+        # two scheduler round-trips per iteration, which dominates on
+        # small graphs): both sides are canonical DISTINCT edge sets,
+        # so they are equal iff no (a, b) appears in exactly one side
+        # of the union-all — an exact set-equality test.
         converged = (
-            n_ss == n_edges
-            and ss.join(edges, ["a", "b"], "left_anti").limit(1).count() == 0
+            ss.unionByName(edges)
+            .groupBy("a", "b")
+            .agg(F.count(F.lit(1)).alias("_c"))
+            .filter(F.col("_c") == 1)
+            .limit(1)
+            .count()
+            == 0
         )
-        edges, n_edges = ss, n_ss
+        edges = ss
         if converged:
             break
     if not converged:
@@ -1450,18 +1464,27 @@ def kmeans_fit(
         return F.array_min(F.array(*structs))["c"]
 
     assigned = base.withColumn("cluster", assign_expr(centroids))
+    dim = len(centroids[0][1]) if centroids else 0
     for _ in range(n_assign - 1):
+        # centroid update as ONE map-side-partial aggregate with a sum
+        # per dimension (k x d output cells) — the posexplode shape
+        # shuffled |corpus| x d exploded rows for the same exact
+        # integer sums (r6); identical _tdiv means, same empty-cluster
+        # drop-out semantics
         rows = (
-            assigned.select("cluster", F.posexplode("_q").alias("_d", "_x"))
-            .groupBy("cluster", "_d")
-            .agg(F.sum("_x").alias("_s"), F.count(F.lit(1)).alias("_n"))
+            assigned.groupBy("cluster")
+            .agg(
+                F.count(F.lit(1)).alias("_n"),
+                *[F.sum(F.col("_q")[d]).alias(f"_s{d}") for d in range(dim)],
+            )
             .collect()
         )
-        by_c: dict[int, dict[int, int]] = {}
-        for r in rows:
-            by_c.setdefault(r["cluster"], {})[r["_d"]] = _tdiv(int(r["_s"]), int(r["_n"]))
         centroids = [
-            (c, [dims[d] for d in sorted(dims)]) for c, dims in sorted(by_c.items())
+            (
+                int(r["cluster"]),
+                [_tdiv(int(r[f"_s{d}"]), int(r["_n"])) for d in range(dim)],
+            )
+            for r in sorted(rows, key=lambda r: r["cluster"])
         ]
         assigned = base.withColumn("cluster", assign_expr(centroids))
     return centroids, assigned
