@@ -169,13 +169,34 @@ def contamination_check(
     Returns one row per contaminated doc: hit count + the smallest
     offending bench id (deterministic evidence pointer).
     """
-    doc_ng = word_ngrams(docs, n, id_col, text_col)
-    bench_ng = word_ngrams(bench, n, bench_id_col, bench_text_col).withColumnRenamed(
+    # join on a 64-bit hash of each n-TOKEN WINDOW instead of the
+    # joined n-gram string (r6): tokens are whitespace-free, so
+    # window equality <=> gram-string equality, and the hash spares
+    # building ~n·avg_word-byte strings per corpus window AND shrinks
+    # the broadcast to 8 B/row (raising the documented bench-side
+    # ceiling ~10x). xxhash64 collisions across the corpus x bench
+    # window sets are the usual negligible-odds caveat (oracle-gated).
+    def _win_hashes(df: DataFrame, idc: str, tc: str, out: str) -> DataFrame:
+        toks = F.col("_toks")
+        cnt = F.size(toks) - (n - 1)
+        hs = F.when(
+            cnt > 0,
+            F.transform(
+                F.sequence(F.lit(1), F.greatest(cnt, F.lit(1))),
+                lambda i: F.xxhash64(F.slice(toks, i, n)),
+            ),
+        ).otherwise(F.array().cast("array<bigint>"))
+        return df.select(F.col(idc), ws_tokens(F.col(tc)).alias("_toks")).select(
+            F.col(idc), F.explode(hs).alias(out)
+        )
+
+    doc_ng = _win_hashes(docs, id_col, text_col, "_ngh")
+    bench_ng = _win_hashes(bench, bench_id_col, bench_text_col, "_ngh").withColumnRenamed(
         bench_id_col, "_bid"
     )
     if broadcast_bench:
         bench_ng = F.broadcast(bench_ng)
-    hits = doc_ng.join(bench_ng, "ngram").select(id_col, "_bid").distinct()
+    hits = doc_ng.join(bench_ng, "_ngh").select(id_col, "_bid").distinct()
     # first_bench_id keeps the bench id's own type (string suite ids
     # like 'mmlu-0042' are the common real shape — a bigint cast here
     # would throw under ANSI mode; the oracle query casts its synthetic

@@ -86,12 +86,29 @@ def bm25_topk(
     if not q_terms:
         raise ValueError("query has no tokens")
     docs = docs.filter(F.col(text_col).isNotNull())  # null text can never match; keep N consistent with the index stats
-    post = term_postings(docs, id_col, text_col)
     stats = docs.select(
         F.count(F.lit(1)).alias("n_docs"),
         F.avg(F.size(_tokens(text_col))).alias("avgdl"),
     )
-    hits = post.filter(F.col("term").isin(q_terms))
+    # query-term postings built directly: filter the token ARRAY to
+    # the query's terms before exploding, so only matching occurrences
+    # become rows (the full-corpus explode + post-explode isin filter
+    # materialized one row per corpus token — guide §2.3 "project
+    # before the explode"; r6, ~2x on this query at sf1.0). Identical
+    # (term, doc, tf, dl) rows: filter() keeps duplicates, dl is the
+    # FULL token count. At index scale the equivalent is the
+    # term-bucketed postings table read, as before.
+    hits = (
+        docs.select(F.col(id_col), _tokens(text_col).alias("_t"))
+        .select(
+            F.col(id_col),
+            F.size("_t").alias("dl"),
+            F.explode(F.filter("_t", lambda t: t.isin(*q_terms))).alias("term"),
+        )
+        .groupBy("term", id_col, "dl")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .select("term", id_col, "tf", "dl")
+    )
     # df rides the postings as a WINDOW count over the term key instead
     # of a groupBy+join-back: the unpersisted join-back would re-run
     # the whole tokenize+explode chain a second time (the CLAUDE.md
