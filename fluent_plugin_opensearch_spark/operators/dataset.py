@@ -1464,27 +1464,25 @@ def kmeans_fit(
         return F.array_min(F.array(*structs))["c"]
 
     assigned = base.withColumn("cluster", assign_expr(centroids))
-    dim = len(centroids[0][1]) if centroids else 0
     for _ in range(n_assign - 1):
-        # centroid update as ONE map-side-partial aggregate with a sum
-        # per dimension (k x d output cells) — the posexplode shape
-        # shuffled |corpus| x d exploded rows for the same exact
-        # integer sums (r6); identical _tdiv means, same empty-cluster
-        # drop-out semantics
+        # centroid update stays the posexplode -> (cluster, dim) agg
+        # shape: an r6 rewrite to one groupBy with a sum PER DIMENSION
+        # was ~1.3 s faster warm but ~1 s slower on the first run
+        # (codegen of k x d aggregate buffers), and the bench protocol
+        # times first runs — measured cold-A/B in fresh JVMs, kept the
+        # small-codegen shape (tests/test_r06_optimizations.py pins
+        # the two shapes equal).
         rows = (
-            assigned.groupBy("cluster")
-            .agg(
-                F.count(F.lit(1)).alias("_n"),
-                *[F.sum(F.col("_q")[d]).alias(f"_s{d}") for d in range(dim)],
-            )
+            assigned.select("cluster", F.posexplode("_q").alias("_d", "_x"))
+            .groupBy("cluster", "_d")
+            .agg(F.sum("_x").alias("_s"), F.count(F.lit(1)).alias("_n"))
             .collect()
         )
+        by_c: dict[int, dict[int, int]] = {}
+        for r in rows:
+            by_c.setdefault(r["cluster"], {})[r["_d"]] = _tdiv(int(r["_s"]), int(r["_n"]))
         centroids = [
-            (
-                int(r["cluster"]),
-                [_tdiv(int(r[f"_s{d}"]), int(r["_n"])) for d in range(dim)],
-            )
-            for r in sorted(rows, key=lambda r: r["cluster"])
+            (c, [dims[d] for d in sorted(dims)]) for c, dims in sorted(by_c.items())
         ]
         assigned = base.withColumn("cluster", assign_expr(centroids))
     return centroids, assigned
