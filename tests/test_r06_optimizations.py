@@ -132,6 +132,28 @@ def test_bm25_prefilter_matches_postings_filter(docs, spark):
     assert ranked[0].doc_id == 8 or [r.doc_id for r in ranked if r.rank == 1] == [8]
 
 
+def test_no_tokenizer_inside_shingle_generators(docs, spark):
+    """The shingle Generate must consume a MATERIALIZED token/shingle
+    attribute — if the tokenizer expression gets re-inlined into the
+    generator lambda (e.g. by an extra intermediate projection that
+    CollapseProject merges), the per-element recompute bug returns:
+    an r6 experiment that materialized the shingle array in its own
+    select re-triggered exactly this and took the query from ~10 s to
+    ~101 s at sf1.0. Pin: no regex tokenizer call inside any Generate
+    node's arguments."""
+    frames = [
+        DS.minhash_signatures(docs, num_hashes=4),
+        DS.winnow_fingerprints(docs),
+        DS.duplicate_spans(docs, window=4),
+    ]
+    for df in frames:
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        for line in plan.splitlines():
+            if "Generate" in line and "explode" in line.lower():
+                assert "regexp_replace" not in line, line
+    spark.catalog.clearCache()
+
+
 def test_kmeans_update_matches_posexplode_sums(spark):
     """groupBy-with-per-dimension-sums centroid update == the
     posexplode shape it replaced (exact integer means)."""
